@@ -1,0 +1,281 @@
+"""Mesh data structures and XDA / force-file I/O.
+
+TPU-native analog of the libMesh ``Mesh``/``BoundaryInfo`` layer used by the
+reference (fem-shell.cpp:35-39, fem-shell.h:22-37): instead of pointer-based
+node/element objects, the mesh is a set of flat numpy arrays (uploaded to
+device as needed) — coordinates ``[N,3]``, per-type connectivity
+(``tri [Et,3]``, ``quad [Eq,4]``), boundary-side records ``[B,3]`` and
+derived per-node BC / interface tables.
+
+File formats parsed (behavioral parity with the reference):
+- libMesh XDA ASCII meshes (reader spec: libMesh; files written by
+  src/meshgen/main_all.cpp:226-338). Element type codes: 3 = TRI3,
+  5 = QUAD4.
+- ``<mesh>_f`` nodal force files (fem-shell.cpp:41-67;
+  doc/implementation.tex:138-148): token stream ``n_forces factor`` then
+  6 values (Fx Fy Fz Mx My Mz) per node, each scaled by ``factor``.
+  Reference quirk preserved: meshGen writes only ``n_nodes-1`` force rows
+  (main_all.cpp:352,377); missing trailing values read as zero, exactly as
+  the C++ ``operator>>`` at EOF leaves the zero-initialized DenseVector.
+
+Boundary-condition semantics (fem-shell.cpp:87-120):
+- side records project onto nodes (BoundaryInfo::build_node_list_from_side_list)
+- bc ids {0, 20}: "simply supported" → constrain u, v, w
+- bc ids {1, 21}: "clamped"          → constrain u, v, w, tx, ty, tz
+- bc ids {2, 20, 21}: FSI coupling-interface nodes
+  (fem-shell_precice.cpp:56-70)
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+# libMesh element type codes as they appear in XDA files.
+XDA_TRI3 = 3
+XDA_QUAD4 = 5
+
+# side -> (local node, local node), libMesh convention for TRI3/QUAD4 edges.
+TRI_SIDES = ((0, 1), (1, 2), (2, 0))
+QUAD_SIDES = ((0, 1), (1, 2), (2, 3), (3, 0))
+
+# Dirichlet semantics (fem-shell.cpp:90-120)
+SIMPLY_SUPPORTED_IDS = (0, 20)  # constrain u,v,w
+CLAMPED_IDS = (1, 21)  # constrain all 6 dofs
+COUPLING_IDS = (2, 20, 21)  # FSI interface node discovery
+
+
+@dataclasses.dataclass
+class ShellMesh:
+    """Host-side mesh container (numpy); device views built by the assembler.
+
+    ``elem_types``/``elem_conn`` preserve the original file element order
+    (needed for file round-trips and boundary-side records); ``tri``/``quad``
+    are the per-type compacted connectivities used by the vmapped kernels,
+    together with the index maps back to original element ids.
+    """
+
+    coords: np.ndarray  # [N,3] float64
+    elem_types: np.ndarray  # [E] int32, XDA type codes
+    elem_conn: np.ndarray  # [E,4] int32, -1 padded for TRI3
+    boundary_sides: np.ndarray  # [B,3] int32 rows (elem, side, bc_id)
+
+    def __post_init__(self):
+        self.coords = np.asarray(self.coords, dtype=np.float64)
+        self.elem_types = np.asarray(self.elem_types, dtype=np.int32)
+        self.elem_conn = np.asarray(self.elem_conn, dtype=np.int32)
+        self.boundary_sides = np.asarray(self.boundary_sides, dtype=np.int32).reshape(-1, 3)
+        tri_mask = self.elem_types == XDA_TRI3
+        quad_mask = self.elem_types == XDA_QUAD4
+        self.tri_ids = np.nonzero(tri_mask)[0].astype(np.int32)
+        self.quad_ids = np.nonzero(quad_mask)[0].astype(np.int32)
+        self.tri = self.elem_conn[tri_mask][:, :3].astype(np.int32)
+        self.quad = self.elem_conn[quad_mask].astype(np.int32)
+
+    # ------------------------------------------------------------------
+    @property
+    def n_nodes(self) -> int:
+        return int(self.coords.shape[0])
+
+    @property
+    def n_elems(self) -> int:
+        return int(self.elem_types.shape[0])
+
+    @property
+    def n_dofs(self) -> int:
+        return 6 * self.n_nodes
+
+    # ------------------------------------------------------------------
+    def side_nodes(self, elem: int, side: int) -> Tuple[int, int]:
+        """Global node ids of an element edge (libMesh side convention)."""
+        if self.elem_types[elem] == XDA_TRI3:
+            a, b = TRI_SIDES[side]
+        else:
+            a, b = QUAD_SIDES[side]
+        return int(self.elem_conn[elem, a]), int(self.elem_conn[elem, b])
+
+    def boundary_node_ids(self, bc_ids: Sequence[int]) -> np.ndarray:
+        """Project side records onto nodes, i.e. the analog of
+        BoundaryInfo::build_node_list_from_side_list (fem-shell_precice.cpp:59).
+
+        Returns sorted unique node ids carrying any of ``bc_ids``.
+        """
+        wanted = set(int(b) for b in bc_ids)
+        nodes = set()
+        for elem, side, bcid in self.boundary_sides:
+            if int(bcid) in wanted:
+                a, b = self.side_nodes(int(elem), int(side))
+                nodes.add(a)
+                nodes.add(b)
+        return np.array(sorted(nodes), dtype=np.int32)
+
+    def dirichlet_mask(self) -> np.ndarray:
+        """Boolean [N,6] mask, True where the dof is constrained to zero.
+
+        Mirrors the two DirichletBoundary objects in fem-shell.cpp:87-120.
+        """
+        mask = np.zeros((self.n_nodes, 6), dtype=bool)
+        ss = self.boundary_node_ids(SIMPLY_SUPPORTED_IDS)
+        cl = self.boundary_node_ids(CLAMPED_IDS)
+        if ss.size:
+            mask[ss, 0:3] = True
+        if cl.size:
+            mask[cl, :] = True
+        return mask
+
+    def coupling_node_ids(self) -> np.ndarray:
+        """FSI interface nodes: bc ids 2/20/21 (fem-shell_precice.cpp:62-70)."""
+        return self.boundary_node_ids(COUPLING_IDS)
+
+    # ------------------------------------------------------------------
+    def node_adjacency(self) -> List[np.ndarray]:
+        """Per-node sorted neighbor lists (including self) from connectivity."""
+        nbrs: List[set] = [set((i,)) for i in range(self.n_nodes)]
+        for conn in (self.tri, self.quad):
+            for row in conn:
+                for a in row:
+                    s = nbrs[a]
+                    for b in row:
+                        s.add(int(b))
+        return [np.array(sorted(s), dtype=np.int32) for s in nbrs]
+
+
+# ----------------------------------------------------------------------
+# XDA reader / writer
+# ----------------------------------------------------------------------
+
+_NODES_PER_TYPE = {XDA_TRI3: 3, XDA_QUAD4: 4}
+
+
+def _strip_comment(line: str) -> str:
+    return line.split("#", 1)[0].strip()
+
+
+def read_xda(path: str) -> ShellMesh:
+    """Parse a libMesh ASCII XDA mesh (subset written by meshGen / shipped
+    with the reference examples)."""
+    with open(path, "r") as fh:
+        lines = fh.read().splitlines()
+    if not lines or not lines[0].startswith("libMesh"):
+        raise ValueError(f"{path}: not a libMesh XDA file")
+    n_elem = int(_strip_comment(lines[1]).split()[0])
+    n_nodes = int(_strip_comment(lines[2]).split()[0])
+    # lines[3..6]: bc file / subdomain / processor / p-level spec files
+    # lines[7]: n_elem at level 0
+    idx = 8
+    elem_types = np.empty(n_elem, dtype=np.int32)
+    elem_conn = np.full((n_elem, 4), -1, dtype=np.int32)
+    for e in range(n_elem):
+        parts = _strip_comment(lines[idx + e]).split()
+        t = int(parts[0])
+        if t not in _NODES_PER_TYPE:
+            raise ValueError(f"{path}: unsupported XDA element type {t}")
+        nn = _NODES_PER_TYPE[t]
+        elem_types[e] = t
+        elem_conn[e, :nn] = [int(p) for p in parts[1 : 1 + nn]]
+    idx += n_elem
+    coords = np.empty((n_nodes, 3), dtype=np.float64)
+    for i in range(n_nodes):
+        parts = _strip_comment(lines[idx + i]).split()
+        coords[i] = [float(parts[0]), float(parts[1]), float(parts[2])]
+    idx += n_nodes
+    n_bc = int(_strip_comment(lines[idx]).split()[0]) if idx < len(lines) and _strip_comment(lines[idx]) else 0
+    idx += 1
+    bcs = np.zeros((n_bc, 3), dtype=np.int32)
+    for b in range(n_bc):
+        parts = _strip_comment(lines[idx + b]).split()
+        bcs[b] = [int(parts[0]), int(parts[1]), int(parts[2])]
+    return ShellMesh(coords, elem_types, elem_conn, bcs)
+
+
+def _fmt_g(x: float) -> str:
+    """C++ default ostream double formatting (6 significant digits)."""
+    s = f"{x:.6g}"
+    return s
+
+
+def write_xda(mesh: ShellMesh, path: str) -> None:
+    """Write the mesh in the XDA dialect produced by meshGen
+    (main_all.cpp:232-338), so outputs remain loadable by the reference."""
+    out = []
+    out.append("libMesh-0.7.0+")
+    out.append(f"{mesh.n_elems}      # number of elements")
+    out.append(f"{mesh.n_nodes}      # number of nodes")
+    out.append(".        # boundary condition specification file")
+    out.append("n/a      # subdomain id specification file")
+    out.append("n/a      # processor id specification file")
+    out.append("n/a      # p-level specification file")
+    out.append(f"{mesh.n_elems}      # n_elem at level 0, [ type (n0 ... nN-1) ]")
+    for e in range(mesh.n_elems):
+        t = int(mesh.elem_types[e])
+        nn = _NODES_PER_TYPE[t]
+        conn = " ".join(str(int(v)) for v in mesh.elem_conn[e, :nn])
+        out.append(f"{t} {conn}")
+    for i in range(mesh.n_nodes):
+        x, y, z = mesh.coords[i]
+        out.append(f"{_fmt_g(x)} {_fmt_g(y)} {_fmt_g(z)}")
+    out.append(f"{len(mesh.boundary_sides)}        # number of boundary conditions")
+    for elem, side, bcid in mesh.boundary_sides:
+        out.append(f"{int(elem)} {int(side)} {int(bcid)}")
+    with open(path, "w") as fh:
+        fh.write("\n".join(out) + "\n")
+
+
+# ----------------------------------------------------------------------
+# Force files
+# ----------------------------------------------------------------------
+
+
+def force_path_for(mesh_path: str) -> str:
+    """``<mesh>_f`` naming convention (fem-shell.cpp:42-50)."""
+    base, ext = os.path.splitext(mesh_path)
+    if ext in (".xda", ".xdr", ".msh"):
+        return base + "_f"
+    return mesh_path + "_f"
+
+
+def read_forces(path: str, n_nodes: int) -> np.ndarray:
+    """Read a ``_f`` nodal force file into an [N,6] array.
+
+    Missing trailing tokens read as zero (C++ EOF behavior the shipped
+    meshes rely on; see module docstring).
+    """
+    with open(path, "r") as fh:
+        toks = fh.read().split()
+    if not toks:
+        return np.zeros((n_nodes, 6), dtype=np.float64)
+    n_forces = int(float(toks[0]))
+    factor = float(toks[1]) if len(toks) > 1 else 1.0
+    vals = np.zeros(n_forces * 6, dtype=np.float64)
+    data = toks[2 : 2 + n_forces * 6]
+    vals[: len(data)] = [float(t) for t in data]
+    forces = vals.reshape(n_forces, 6) * factor
+    if n_forces < n_nodes:
+        forces = np.vstack([forces, np.zeros((n_nodes - n_forces, 6))])
+    return forces[:n_nodes]
+
+
+def write_forces(path: str, n_nodes: int, factor: float, rows: np.ndarray, n_rows: int | None = None) -> None:
+    """Write a ``_f`` file. ``rows`` is [n,6] *unscaled* per-node rows;
+    ``n_rows`` lets the caller reproduce the meshGen ``n_nodes-1`` quirk."""
+    rows = np.asarray(rows)
+    if n_rows is None:
+        n_rows = rows.shape[0]
+    out = [f"{n_nodes}", _fmt_g(factor)]
+    for i in range(n_rows):
+        out.append(" ".join(_fmt_g(v) for v in rows[i]))
+    with open(path, "w") as fh:
+        fh.write("\n".join(out) + "\n")
+
+
+def load_mesh_and_forces(mesh_path: str) -> Tuple[ShellMesh, np.ndarray]:
+    """Load a mesh plus its conventional ``_f`` force file (zeros if absent)."""
+    mesh = read_xda(mesh_path)
+    fpath = force_path_for(mesh_path)
+    if os.path.exists(fpath):
+        forces = read_forces(fpath, mesh.n_nodes)
+    else:
+        forces = np.zeros((mesh.n_nodes, 6), dtype=np.float64)
+    return mesh, forces

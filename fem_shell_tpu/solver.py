@@ -1,0 +1,80 @@
+"""Linear solvers — the PETSc KSP analog (doc/implementation.tex:403,459).
+
+Two jit-compatible paths:
+
+- :func:`dense_solve` — direct solve on the densified operator; used for
+  small systems and as the correctness oracle.
+- :func:`pcg` — Jacobi-preconditioned conjugate gradients with a
+  ``lax.while_loop`` (compiler-friendly iteration, static shapes). The
+  operator is abstract (any ``matvec`` callable), so the same solver runs
+  on assembled block-ELL, matrix-free element loops, and sharded variants.
+
+Stopping criterion: relative residual ||r|| / ||b|| < rtol (PETSc default
+convergence style), plus an absolute floor and a max-iteration cap
+analogous to ``-ksp_rtol/-ksp_max_it``.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class CGResult(NamedTuple):
+    x: jnp.ndarray
+    iters: jnp.ndarray  # int32 iterations taken
+    residual: jnp.ndarray  # final ||r||/||b||
+
+
+def pcg(
+    matvec: Callable[[jnp.ndarray], jnp.ndarray],
+    b: jnp.ndarray,
+    diag: jnp.ndarray,
+    rtol: float = 1e-10,
+    atol: float = 0.0,
+    maxiter: int = 10000,
+    x0: jnp.ndarray | None = None,
+) -> CGResult:
+    """Jacobi-PCG. ``b``/``diag`` may be any shape (flattened internally by
+    treating them elementwise); ``matvec`` must preserve the shape."""
+    dtype = b.dtype
+    inv_diag = jnp.where(diag != 0, 1.0 / diag, jnp.ones_like(diag))
+    b_norm = jnp.sqrt(jnp.sum(b * b))
+    stop = jnp.maximum(rtol * b_norm, atol).astype(dtype)
+
+    x = jnp.zeros_like(b) if x0 is None else x0
+    r = b - matvec(x) if x0 is not None else b
+    z = inv_diag * r
+    p = z
+    rz = jnp.sum(r * z)
+
+    def cond(state):
+        _, r, _, _, _, it = state
+        rn = jnp.sqrt(jnp.sum(r * r))
+        return jnp.logical_and(rn > stop, it < maxiter)
+
+    def body(state):
+        x, r, z, p, rz, it = state
+        ap = matvec(p)
+        alpha = rz / jnp.sum(p * ap)
+        x = x + alpha * p
+        r = r - alpha * ap
+        z = inv_diag * r
+        rz_new = jnp.sum(r * z)
+        beta = rz_new / rz
+        p = z + beta * p
+        return (x, r, z, p, rz_new, it + 1)
+
+    state = (x, r, z, p, rz, jnp.zeros((), jnp.int32))
+    x, r, _, _, _, it = jax.lax.while_loop(cond, body, state)
+    rn = jnp.sqrt(jnp.sum(r * r))
+    rel = jnp.where(b_norm > 0, rn / b_norm, rn)
+    return CGResult(x, it, rel)
+
+
+def dense_solve(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Direct dense solve (small systems / oracle path)."""
+    return jnp.linalg.solve(a, b)

@@ -1,0 +1,118 @@
+"""ShellSystem — orchestration layer (the EquationSystems/LinearImplicitSystem
+analog, fem-shell.cpp:70-138): owns the device mesh arrays, the sparsity
+pattern, BC masks, and exposes assemble/solve as jitted pipelines.
+
+The full pipeline (element kernels -> block scatter -> BC masking -> PCG)
+is one ``jax.jit`` program: XLA sees the entire solve and fuses the
+element-parallel assembly with the iterative solve setup.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fem_shell_tpu.materials import Material
+from fem_shell_tpu.mesh import ShellMesh
+from fem_shell_tpu.ops.assemble import (
+    BlockEllMatrix,
+    apply_dirichlet_to_ell,
+    build_ell_pattern,
+    element_stiffnesses,
+    scatter_to_ell,
+)
+from fem_shell_tpu.solver import CGResult, dense_solve, pcg
+
+
+class ShellSystem:
+    """Linear-elastic flat-shell system on one device.
+
+    Usage::
+
+        sys = ShellSystem(mesh, Material(nu=0.3, em=1e7, thickness=0.5))
+        u = sys.solve(forces)          # [N,6] displacements (+ rotations)
+    """
+
+    def __init__(
+        self,
+        mesh: ShellMesh,
+        material: Material,
+        dtype=jnp.float64,
+        k_max: Optional[int] = None,
+    ):
+        self.mesh = mesh
+        self.material = material
+        self.dtype = dtype
+        dm, dp = material.matrices()
+        self.dm = jnp.asarray(dm, dtype)
+        self.dp = jnp.asarray(dp, dtype)
+        self.thickness = dtype(material.thickness) if callable(dtype) else material.thickness
+
+        self.coords = jnp.asarray(mesh.coords, dtype)
+        self.tri_conn = jnp.asarray(mesh.tri, jnp.int32)
+        self.quad_conn = jnp.asarray(mesh.quad, jnp.int32)
+
+        self.pattern = build_ell_pattern(mesh, k_max=k_max)
+        self.adj = jnp.asarray(self.pattern.adj)
+        self.tri_slot = jnp.asarray(self.pattern.tri_slot)
+        self.quad_slot = jnp.asarray(self.pattern.quad_slot)
+
+        constrained = mesh.dirichlet_mask()  # [N,6] bool
+        self.free_mask = jnp.asarray(~constrained, dtype)
+
+        self._assemble_jit = jax.jit(self._assemble_impl)
+        self._solve_pcg_jit = jax.jit(self._solve_pcg_impl, static_argnums=(2, 3))
+        self._solve_dense_jit = jax.jit(self._solve_dense_impl)
+
+    # ------------------------------------------------------------------
+    def _assemble_impl(self, coords) -> BlockEllMatrix:
+        ke_tri, ke_quad = element_stiffnesses(
+            (coords, self.tri_conn, self.quad_conn), self.dm, self.dp, self.thickness
+        )
+        blocks = scatter_to_ell(ke_tri, ke_quad, self.pattern, self.tri_slot, self.quad_slot)
+        blocks = apply_dirichlet_to_ell(blocks, self.adj, self.free_mask)
+        return BlockEllMatrix(blocks, self.adj)
+
+    def assemble(self) -> BlockEllMatrix:
+        """Assembled, BC-constrained block-ELL operator."""
+        return self._assemble_jit(self.coords)
+
+    # ------------------------------------------------------------------
+    def _solve_pcg_impl(self, coords, forces, rtol, maxiter) -> Tuple[jnp.ndarray, CGResult]:
+        a = self._assemble_impl(coords)
+        b = forces * self.free_mask
+        diag = a.diagonal()
+        res = pcg(a.matvec, b, diag, rtol=rtol, maxiter=maxiter)
+        return res.x, res
+
+    def _solve_dense_impl(self, coords, forces) -> jnp.ndarray:
+        a = self._assemble_impl(coords)
+        n = self.mesh.n_nodes
+        dense = a.to_dense()
+        b = (forces * self.free_mask).reshape(-1)
+        return dense_solve(dense, b).reshape(n, 6)
+
+    def solve(
+        self,
+        forces,
+        method: str = "pcg",
+        rtol: float = 1e-12,
+        maxiter: int = 20000,
+    ) -> jnp.ndarray:
+        """Solve K u = f. ``forces``: [N,6] nodal loads. Returns [N,6]."""
+        forces = jnp.asarray(forces, self.dtype)
+        if method == "dense":
+            return self._solve_dense_jit(self.coords, forces)
+        x, res = self._solve_pcg_jit(self.coords, forces, rtol, maxiter)
+        self.last_cg = res
+        return x
+
+    # ------------------------------------------------------------------
+    def solution_vector(self, u) -> np.ndarray:
+        """Flat [6N] solution ordered like the reference's
+        build_solution_vector (6 values per node; fem-shell.cpp:163-169)."""
+        return np.asarray(u).reshape(-1)
