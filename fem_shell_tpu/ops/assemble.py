@@ -149,6 +149,15 @@ class BlockEllMatrix:
         diag_blocks = jnp.einsum("nkaa->nka", self.blocks)  # [N, K, 6]
         return jnp.sum(jnp.where(is_self[..., None], diag_blocks, 0.0), axis=1)
 
+    def diagonal_blocks(self) -> jnp.ndarray:
+        """[N, 6, 6] self-coupling blocks (for block-Jacobi preconditioning)."""
+        n = self.blocks.shape[0]
+        is_self = self.adj == jnp.arange(n, dtype=self.adj.dtype)[:, None]
+        first_self = (jnp.cumsum(is_self.astype(jnp.int32), axis=1) * is_self) == 1
+        return jnp.sum(
+            jnp.where(first_self[:, :, None, None], self.blocks, 0.0), axis=1
+        )
+
     def to_dense(self) -> jnp.ndarray:
         n, k = self.adj.shape
         dense = jnp.zeros((n, 6, n, 6), dtype=self.blocks.dtype)

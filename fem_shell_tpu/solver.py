@@ -32,22 +32,26 @@ class CGResult(NamedTuple):
 def pcg(
     matvec: Callable[[jnp.ndarray], jnp.ndarray],
     b: jnp.ndarray,
-    diag: jnp.ndarray,
+    diag: jnp.ndarray | None = None,
     rtol: float = 1e-10,
     atol: float = 0.0,
     maxiter: int = 10000,
     x0: jnp.ndarray | None = None,
+    apply_prec: Callable[[jnp.ndarray], jnp.ndarray] | None = None,
 ) -> CGResult:
-    """Jacobi-PCG. ``b``/``diag`` may be any shape (flattened internally by
-    treating them elementwise); ``matvec`` must preserve the shape."""
+    """Preconditioned CG. Pass either ``diag`` (Jacobi) or ``apply_prec``
+    (arbitrary SPD preconditioner application, e.g. block-Jacobi).
+    ``matvec`` must preserve the shape of ``b``."""
     dtype = b.dtype
-    inv_diag = jnp.where(diag != 0, 1.0 / diag, jnp.ones_like(diag))
+    if apply_prec is None:
+        inv_diag = jnp.where(diag != 0, 1.0 / diag, jnp.ones_like(diag))
+        apply_prec = lambda v: inv_diag * v  # noqa: E731
     b_norm = jnp.sqrt(jnp.sum(b * b))
     stop = jnp.maximum(rtol * b_norm, atol).astype(dtype)
 
     x = jnp.zeros_like(b) if x0 is None else x0
     r = b - matvec(x) if x0 is not None else b
-    z = inv_diag * r
+    z = apply_prec(r)
     p = z
     rz = jnp.sum(r * z)
 
@@ -62,7 +66,7 @@ def pcg(
         alpha = rz / jnp.sum(p * ap)
         x = x + alpha * p
         r = r - alpha * ap
-        z = inv_diag * r
+        z = apply_prec(r)
         rz_new = jnp.sum(r * z)
         beta = rz_new / rz
         p = z + beta * p

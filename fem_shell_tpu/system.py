@@ -65,7 +65,7 @@ class ShellSystem:
         self.free_mask = jnp.asarray(~constrained, dtype)
 
         self._assemble_jit = jax.jit(self._assemble_impl)
-        self._solve_pcg_jit = jax.jit(self._solve_pcg_impl, static_argnums=(2, 3))
+        self._solve_pcg_jit = jax.jit(self._solve_pcg_impl, static_argnums=(2, 3, 4))
         self._solve_dense_jit = jax.jit(self._solve_dense_impl)
 
     # ------------------------------------------------------------------
@@ -82,11 +82,22 @@ class ShellSystem:
         return self._assemble_jit(self.coords)
 
     # ------------------------------------------------------------------
-    def _solve_pcg_impl(self, coords, forces, rtol, maxiter) -> Tuple[jnp.ndarray, CGResult]:
+    def _solve_pcg_impl(
+        self, coords, forces, rtol, maxiter, precond="block_jacobi"
+    ) -> Tuple[jnp.ndarray, CGResult]:
         a = self._assemble_impl(coords)
         b = forces * self.free_mask
-        diag = a.diagonal()
-        res = pcg(a.matvec, b, diag, rtol=rtol, maxiter=maxiter)
+        if precond == "block_jacobi":
+            # factor the 6x6 node-diagonal blocks once; far stronger than
+            # scalar Jacobi for the badly scaled shell operator (drilling
+            # dofs are ~1000x softer than bending dofs by construction)
+            from fem_shell_tpu.ops.blockprec import cholesky6, cholesky6_solve
+
+            l_blocks = cholesky6(a.diagonal_blocks())
+            apply_prec = lambda r: cholesky6_solve(l_blocks, r)  # noqa: E731
+            res = pcg(a.matvec, b, rtol=rtol, maxiter=maxiter, apply_prec=apply_prec)
+        else:
+            res = pcg(a.matvec, b, diag=a.diagonal(), rtol=rtol, maxiter=maxiter)
         return res.x, res
 
     def _solve_dense_impl(self, coords, forces) -> jnp.ndarray:
@@ -102,12 +113,20 @@ class ShellSystem:
         method: str = "pcg",
         rtol: float = 1e-12,
         maxiter: int = 20000,
+        precond: str = "block_jacobi",
     ) -> jnp.ndarray:
-        """Solve K u = f. ``forces``: [N,6] nodal loads. Returns [N,6]."""
+        """Solve K u = f. ``forces``: [N,6] nodal loads. Returns [N,6].
+
+        Traced under HIGHEST matmul precision: on TPU the default f32
+        matmul path feeds the MXU bf16 inputs, which destroys both the
+        element stiffness accuracy and CG convergence. HIGHEST uses the
+        multi-pass f32 MXU mode (and is a no-op on CPU/f64).
+        """
         forces = jnp.asarray(forces, self.dtype)
-        if method == "dense":
-            return self._solve_dense_jit(self.coords, forces)
-        x, res = self._solve_pcg_jit(self.coords, forces, rtol, maxiter)
+        with jax.default_matmul_precision("highest"):
+            if method == "dense":
+                return self._solve_dense_jit(self.coords, forces)
+            x, res = self._solve_pcg_jit(self.coords, forces, rtol, maxiter, precond)
         self.last_cg = res
         return x
 
