@@ -25,8 +25,7 @@ Subsystems
 __version__ = "0.1.0"
 
 from fem_shell_tpu.materials import Material, material_matrices
-from fem_shell_tpu.mesh import ShellMesh, read_xda, read_forces
-from fem_shell_tpu.system import ShellSystem
+from fem_shell_tpu.mesh import ShellMesh, read_forces, read_xda
 
 __all__ = [
     "Material",
@@ -37,3 +36,13 @@ __all__ = [
     "ShellSystem",
     "__version__",
 ]
+
+
+def __getattr__(name):
+    # Lazy: ShellSystem pulls in jax; mesh/meshgen-only users (and the
+    # meshgen CLI) must not pay for (or depend on) accelerator init.
+    if name == "ShellSystem":
+        from fem_shell_tpu.system import ShellSystem
+
+        return ShellSystem
+    raise AttributeError(f"module 'fem_shell_tpu' has no attribute {name!r}")

@@ -28,6 +28,8 @@ Design notes (TPU):
 """
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 
@@ -35,7 +37,10 @@ import jax.numpy as jnp
 # Quadrature constants
 # ----------------------------------------------------------------------
 
-_GAUSS_ROOT = 1.0 / jnp.sqrt(3.0)  # 2x2 Gauss points at +-sqrt(1/3), w = 1
+# 2x2 Gauss points at +-sqrt(1/3), w = 1 — a host-side float (not jnp) so
+# importing this module never initializes a JAX backend; the literal
+# matches the C++ `sqrt(1.0/3.0)` (fem-shell.cpp:472) bit-for-bit.
+_GAUSS_ROOT = math.sqrt(1.0 / 3.0)
 # Reference loops ii,jj over pow(-1,ii)*root: (+,+), (+,-), (-,+), (-,-)
 _QUAD_QPS = ((1.0, 1.0), (1.0, -1.0), (-1.0, 1.0), (-1.0, -1.0))
 # Specht plate interior points, weight 1/6 (fem-shell.cpp:557-562)

@@ -1,0 +1,131 @@
+"""Stand-alone solver CLI — the ``FEM-shell`` executable analog.
+
+Mirrors the reference flag surface (fem-shell.cpp:194-267):
+  -nu    Poisson's ratio (required)
+  -e     Young's modulus E (required)
+  -t     thickness (required)
+  -mesh  input mesh file (*.xda, required; *_f force file by convention)
+  -out   output file base name (optional; writes <out>.vtu + <out>.vtk)
+  -d     debug output 1|0
+
+plus TPU-native extras:
+  --rtol      linear solver relative tolerance (default 1e-10; the
+              -ksp_rtol analog of the PETSc flag pass-through layer,
+              doc/implementation.tex:69-72)
+  --maxiter   CG iteration cap (-ksp_max_it analog)
+  --method    pcg | dense
+  --precond   block_jacobi | jacobi
+  --f32       solve in float32 (TPU-native speed; f64 is the default for
+              golden-accurate results)
+  --devices   shard the solve over the first N local devices (SPMD domain
+              decomposition; the mpirun -n N analog)
+
+Output format follows the reference: per-node solution print
+(fem-shell.cpp:156-176), then displaced-mesh export.
+"""
+from __future__ import annotations
+
+import sys
+from typing import List, Optional
+
+
+def _parse(argv: List[str]):
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        prog="fem-shell",
+        description="TPU-native flat-shell FEM solver (fem-shell analog)",
+    )
+    ap.add_argument("-nu", type=float, required=True, help="Poisson's ratio")
+    ap.add_argument("-e", type=float, required=True, help="Young's modulus E")
+    ap.add_argument("-t", type=float, required=True, help="thickness")
+    ap.add_argument("-mesh", required=True, help="input mesh (*.xda)")
+    ap.add_argument("-out", default=None, help="output base name (optional)")
+    ap.add_argument("-d", type=int, default=0, help="debug messages 1|0")
+    ap.add_argument("--rtol", type=float, default=1e-10)
+    ap.add_argument("--maxiter", type=int, default=20000)
+    ap.add_argument("--method", choices=("pcg", "dense"), default="pcg")
+    ap.add_argument("--precond", choices=("block_jacobi", "jacobi"), default="block_jacobi")
+    ap.add_argument("--f32", action="store_true")
+    ap.add_argument("--devices", type=int, default=1)
+    return ap.parse_args(argv)
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    args = _parse(sys.argv[1:] if argv is None else argv)
+
+    import jax
+
+    if not args.f32:
+        jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fem_shell_tpu.io.vtk import write_legacy_vtk, write_vtu
+    from fem_shell_tpu.materials import Material
+    from fem_shell_tpu.mesh import load_mesh_and_forces
+    from fem_shell_tpu.system import ShellSystem
+
+    print(
+        f"Run program with parameters: debug messages = "
+        f"{'true' if args.d else 'false'}, nu = {args.nu}, E = {args.e}, "
+        f"t = {args.t}, mesh file = {args.mesh}"
+        + (f", out-file = {args.out}" if args.out else "")
+    )
+    mesh, forces = load_mesh_and_forces(args.mesh)
+    print(
+        f"Mesh: {mesh.n_nodes} nodes, {mesh.n_elems} elements "
+        f"({len(mesh.tri)} tri, {len(mesh.quad)} quad), {mesh.n_dofs} dofs"
+    )
+    if not np.any(forces):
+        print(
+            "WARNING: all nodal loads are zero (missing or empty "
+            f"'{args.mesh.rsplit('.',1)[0]}_f' force file?) — solution will be zero."
+        )
+    material = Material(nu=args.nu, em=args.e, thickness=args.t)
+    dtype = jnp.float32 if args.f32 else jnp.float64
+
+    if args.devices > 1:
+        from fem_shell_tpu.parallel.sharded import ShardedShellSystem, make_device_mesh
+
+        system = ShardedShellSystem(mesh, material, make_device_mesh(args.devices), dtype=dtype)
+        u = np.asarray(system.solve(forces, rtol=args.rtol, maxiter=args.maxiter))
+        iters, res = system.last_iters, system.last_residual
+    else:
+        system = ShellSystem(mesh, material, dtype=dtype)
+        u = np.asarray(
+            system.solve(
+                forces,
+                method=args.method,
+                rtol=args.rtol,
+                maxiter=args.maxiter,
+                precond=args.precond,
+            )
+        )
+        if args.method == "pcg":
+            iters, res = int(system.last_cg.iters), float(system.last_cg.residual)
+        else:
+            iters, res = 0, 0.0
+    if args.method == "pcg":
+        print(f"Linear solve: {iters} CG iterations, relative residual {res:.3e}")
+
+    if args.d:
+        print("Solution: u_vec = [")
+        for i in range(mesh.n_nodes):
+            print(
+                f"u= {u[i,0]:.6g}, v= {u[i,1]:.6g}, w= {u[i,2]:.6g}, "
+                f"tx= {u[i,3]:.6g}, ty= {u[i,4]:.6g}, tz= {u[i,5]:.6g}"
+            )
+        print("]")
+
+    if args.out:
+        write_vtu(mesh, args.out + ".vtu", displacement=u, displace=True)
+        write_legacy_vtk(mesh, args.out + ".vtk", displacement=u, displace=True)
+        print(f"Wrote {args.out}.vtu and {args.out}.vtk")
+
+    print("All done :)")
+    return 0
+
+
+if __name__ == "__main__":  # pragma: no cover
+    raise SystemExit(main())
