@@ -33,9 +33,9 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from fem_shell_tpu.large import LargeShellSystem
 from fem_shell_tpu.materials import Material
 from fem_shell_tpu.meshgen import MeshGenParams, generate
-from fem_shell_tpu.system import ShellSystem
 
 BASELINE_OVERALL_S = 34.83  # doc/validation.tex:534-537, Quad-4 1 proc
 GOLDEN_CENTER_W = 0.106465  # doc/validation.tex:518
@@ -47,11 +47,14 @@ def main():
     p = MeshGenParams("q", 64, 64, 0, 0, 10, 10, (0, 0, 0, 0), 300.0, 2, True, "z")
     mesh, rows, fac = generate(p)
     forces = rows * fac
-    system = ShellSystem(mesh, Material(nu=0.3, em=1e7, thickness=0.5), dtype=jnp.float64)
+    # stencil-mode SoA operator (ops/soa.py): TPU-tiled layouts, gather-free
+    # SpMV; produces solutions identical to the reference AoS path
+    system = LargeShellSystem(
+        mesh, Material(nu=0.3, em=1e7, thickness=0.5), dtype=jnp.float64, chunk=4096
+    )
 
-    # warm-up (compile)
+    # warm-up (compile); solve() returns a host numpy array (synchronized)
     u = system.solve(forces, rtol=RTOL, maxiter=20000)
-    u.block_until_ready()
     center = mesh.n_nodes // 2
     w = float(u[center, 2])
     err = abs(w - GOLDEN_CENTER_W) / GOLDEN_CENTER_W
@@ -67,7 +70,6 @@ def main():
     for _ in range(REPS):
         t0 = time.perf_counter()
         u = system.solve(forces, rtol=RTOL, maxiter=20000)
-        u.block_until_ready()
         times.append(time.perf_counter() - t0)
     t = float(np.mean(times))
     print(

@@ -1,0 +1,100 @@
+"""LargeShellSystem — production solve path for multi-million-element
+meshes, built on the SoA block-ELL operator (ops/soa.py) whose layouts
+map cleanly onto TPU (8,128) tiling. Functionally identical to
+ShellSystem (same elements, BCs, PCG); verified against it in tests.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fem_shell_tpu.materials import Material
+from fem_shell_tpu.mesh import ShellMesh
+from fem_shell_tpu.ops.soa import (
+    apply_bc_soa,
+    assemble_soa,
+    build_soa_pattern,
+    soa_diagonal,
+    soa_matvec,
+)
+from fem_shell_tpu.solver import pcg
+
+
+class LargeShellSystem:
+    def __init__(
+        self,
+        mesh: ShellMesh,
+        material: Material,
+        dtype=jnp.float32,
+        k_max: Optional[int] = None,
+        chunk: int = 16384,
+    ):
+        self.mesh = mesh
+        self.material = material
+        self.dtype = dtype
+        self.chunk = int(chunk)
+        dm, dp = material.matrices()
+        self.dm = jnp.asarray(dm, dtype)
+        self.dp = jnp.asarray(dp, dtype)
+        self.thickness = material.thickness
+
+        self.pattern = build_soa_pattern(mesh, k_max=k_max)
+        p = self.pattern
+        self.coords = jnp.asarray(mesh.coords, dtype)
+        self.tri_conn = jnp.asarray(mesh.tri)
+        self.quad_conn = jnp.asarray(mesh.quad)
+        self.tri_slot = jnp.asarray(p.tri_slot)
+        self.quad_slot = jnp.asarray(p.quad_slot)
+        self.offsets = p.offsets  # host-side ints (stencil mode) or None
+        self.adj_t = jnp.asarray(p.adj_t) if p.adj_t is not None else None
+
+        free = np.ones((p.n_pad, 6), dtype=np.float64)
+        free[: p.n_nodes] = ~mesh.dirichlet_mask()
+        free[p.n_nodes :] = 0.0
+        self.free_t = jnp.asarray(free.T, dtype)  # [6, Npad]
+
+        self._assemble_jit = jax.jit(self._assemble_impl)
+        self._solve_jit = jax.jit(self._solve_impl, static_argnums=(2, 3))
+
+    # ------------------------------------------------------------------
+    def _assemble_impl(self, coords):
+        values = assemble_soa(
+            self.pattern,
+            coords,
+            self.tri_conn,
+            self.quad_conn,
+            self.tri_slot,
+            self.quad_slot,
+            self.dm,
+            self.dp,
+            self.thickness,
+            self.free_t,
+            chunk=self.chunk,
+        )
+        return apply_bc_soa(values, self.free_t, adj_t=self.adj_t, offsets=self.offsets)
+
+    def _solve_impl(self, coords, forces_t, rtol, maxiter):
+        values = self._assemble_impl(coords)
+        b = forces_t * self.free_t
+        diag = soa_diagonal(values, adj_t=self.adj_t, offsets=self.offsets)
+        matvec = lambda x: soa_matvec(values, x, adj_t=self.adj_t, offsets=self.offsets)  # noqa: E731
+        return pcg(matvec, b, diag=diag, rtol=rtol, maxiter=maxiter)
+
+    # ------------------------------------------------------------------
+    def assemble(self):
+        with jax.default_matmul_precision("highest"):
+            return self._assemble_jit(self.coords)
+
+    def solve(self, forces, rtol: float = 1e-10, maxiter: int = 20000):
+        p = self.pattern
+        f = np.zeros((p.n_pad, 6))
+        f[: p.n_nodes] = np.asarray(forces)
+        f_t = jnp.asarray(f.T, self.dtype)
+        with jax.default_matmul_precision("highest"):
+            res = self._solve_jit(self.coords, f_t, rtol, maxiter)
+        self.last_cg = res
+        return np.asarray(res.x).T[: p.n_nodes]

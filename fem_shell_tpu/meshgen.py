@@ -81,27 +81,27 @@ def generate(p: MeshGenParams) -> Tuple[ShellMesh, np.ndarray, float]:
         coords[:, 1] = prim
         coords[:, 2] = sec
 
-    # elements (main_all.cpp:163-224)
-    conn_rows = []
-    types = []
-    for y in range(ny):
-        for x in range(nx):
-            n_id = x + y * (nx + 1)
-            if p.elem_type == "q":
-                conn_rows.append((n_id, n_id + 1, n_id + nx + 2, n_id + nx + 1))
-                types.append(XDA_QUAD4)
-            else:
-                if p.ul_lr:
-                    conn_rows.append((n_id, n_id + 1, n_id + nx + 1, -1))
-                    conn_rows.append((n_id + 1, n_id + nx + 2, n_id + nx + 1, -1))
-                else:
-                    conn_rows.append((n_id, n_id + nx + 2, n_id + 1, -1))
-                    conn_rows.append((n_id + nx + 2, n_id, n_id + nx + 1, -1))
-                types.extend((XDA_TRI3, XDA_TRI3))
-    elem_conn = np.array(conn_rows, dtype=np.int32)
+    # elements (main_all.cpp:163-224) — vectorized so multi-million-element
+    # meshes generate in milliseconds
+    yy, xx = np.meshgrid(np.arange(ny), np.arange(nx), indexing="ij")
+    n_id = (xx + yy * (nx + 1)).reshape(-1).astype(np.int64)  # cell anchors
     if p.elem_type == "q":
-        elem_conn = elem_conn  # already 4 wide
-    elem_types = np.array(types, dtype=np.int32)
+        elem_conn = np.stack(
+            [n_id, n_id + 1, n_id + nx + 2, n_id + nx + 1], axis=1
+        ).astype(np.int32)
+        elem_types = np.full(len(n_id), XDA_QUAD4, dtype=np.int32)
+    else:
+        if p.ul_lr:
+            tri1 = np.stack([n_id, n_id + 1, n_id + nx + 1], axis=1)
+            tri2 = np.stack([n_id + 1, n_id + nx + 2, n_id + nx + 1], axis=1)
+        else:
+            tri1 = np.stack([n_id, n_id + nx + 2, n_id + 1], axis=1)
+            tri2 = np.stack([n_id + nx + 2, n_id, n_id + nx + 1], axis=1)
+        both = np.stack([tri1, tri2], axis=1).reshape(-1, 3)  # interleaved
+        elem_conn = np.hstack(
+            [both, np.full((len(both), 1), -1, dtype=np.int64)]
+        ).astype(np.int32)
+        elem_types = np.full(len(both), XDA_TRI3, dtype=np.int32)
 
     # boundary records (main_all.cpp:283-338); emission order matters for
     # byte-parity: all top/bottom pairs first, then left/right pairs.
