@@ -56,10 +56,12 @@ def stencil_spmv_pallas(values, x, offsets: Sequence[int], tile: int = 4096):
     halo_lo = -min(0, offsets[0])
     halo_hi = max(0, offsets[-1])
     width = tile + halo_lo + halo_hi
+    width += (-width) % 128  # DMA slices must be lane-aligned (128)
     assert npad % tile == 0, (npad, tile)
-    # pad x: lanes on both sides so every window read is in bounds, and to
-    # 8 sublanes so the manual DMA slice meets the (8,128) tiling rule
-    x_padded = jnp.pad(x, ((0, 2), (halo_lo, halo_hi)))
+    # pad x: lanes on both sides so every window read is in bounds (right
+    # padding absorbs the lane alignment), and to 8 sublanes so the manual
+    # DMA slice meets the (8,128) tiling rule
+    x_padded = jnp.pad(x, ((0, 2), (halo_lo, width - tile - halo_lo)))
 
     grid = (npad // tile,)
     kernel = functools.partial(_kernel, offsets, tile, halo_lo, width)
