@@ -57,6 +57,14 @@ class LargeShellSystem:
         free[p.n_nodes :] = 0.0
         self.free_t = jnp.asarray(free.T, dtype)  # [6, Npad]
 
+        # Pallas stencil SpMV: f32 + stencil mode + real accelerator only
+        # (f64 is an XLA-level emulation; CPU Pallas is interpret-only)
+        self._use_pallas = (
+            dtype == jnp.float32
+            and self.pattern.offsets is not None
+            and jax.devices()[0].platform != "cpu"
+        )
+
         self._assemble_jit = jax.jit(self._assemble_impl)
         self._solve_jit = jax.jit(self._solve_impl, static_argnums=(2, 3))
 
@@ -81,7 +89,16 @@ class LargeShellSystem:
         values = self._assemble_impl(coords)
         b = forces_t * self.free_t
         diag = soa_diagonal(values, adj_t=self.adj_t, offsets=self.offsets)
-        matvec = lambda x: soa_matvec(values, x, adj_t=self.adj_t, offsets=self.offsets)  # noqa: E731
+        if self._use_pallas:
+            from fem_shell_tpu.ops.pallas_spmv import (
+                prepare_tiled_values,
+                stencil_spmv_pallas_tiled,
+            )
+
+            vt, _ = prepare_tiled_values(values)  # one relayout, reused by all iters
+            matvec = lambda x: stencil_spmv_pallas_tiled(vt, x, self.offsets)  # noqa: E731
+        else:
+            matvec = lambda x: soa_matvec(values, x, adj_t=self.adj_t, offsets=self.offsets)  # noqa: E731
         return pcg(matvec, b, diag=diag, rtol=rtol, maxiter=maxiter)
 
     # ------------------------------------------------------------------

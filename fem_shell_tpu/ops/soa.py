@@ -75,8 +75,10 @@ def _offsets_of(mesh) -> np.ndarray:
 
 
 def build_soa_pattern(
-    mesh, k_max: Optional[int] = None, pad_to: int = 128, max_stencil: int = 32
+    mesh, k_max: Optional[int] = None, pad_to: int = 1024, max_stencil: int = 32
 ) -> SoAPattern:
+    # pad_to=1024 keeps Npad/128 a multiple of 8 so the Pallas SpMV kernel
+    # can always use full (8,128) row tiles
     n = mesh.n_nodes
     n_pad = _ceil_to(n, pad_to)
     offsets = _offsets_of(mesh)
