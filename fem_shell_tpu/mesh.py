@@ -61,12 +61,18 @@ class ShellMesh:
     elem_types: np.ndarray  # [E] int32, XDA type codes
     elem_conn: np.ndarray  # [E,4] int32, -1 padded for TRI3
     boundary_sides: np.ndarray  # [B,3] int32 rows (elem, side, bc_id)
+    boundary_nodes: np.ndarray = None  # [M,2] int32 rows (node, bc_id); from
+    # GMSH point/line elements (doc/implementation.tex:103: lower-dimensional
+    # msh elements define nodal boundary conditions)
 
     def __post_init__(self):
         self.coords = np.asarray(self.coords, dtype=np.float64)
         self.elem_types = np.asarray(self.elem_types, dtype=np.int32)
         self.elem_conn = np.asarray(self.elem_conn, dtype=np.int32)
         self.boundary_sides = np.asarray(self.boundary_sides, dtype=np.int32).reshape(-1, 3)
+        if self.boundary_nodes is None:
+            self.boundary_nodes = np.zeros((0, 2), dtype=np.int32)
+        self.boundary_nodes = np.asarray(self.boundary_nodes, dtype=np.int32).reshape(-1, 2)
         tri_mask = self.elem_types == XDA_TRI3
         quad_mask = self.elem_types == XDA_QUAD4
         self.tri_ids = np.nonzero(tri_mask)[0].astype(np.int32)
@@ -109,6 +115,9 @@ class ShellMesh:
                 a, b = self.side_nodes(int(elem), int(side))
                 nodes.add(a)
                 nodes.add(b)
+        for node, bcid in self.boundary_nodes:
+            if int(bcid) in wanted:
+                nodes.add(int(node))
         return np.array(sorted(nodes), dtype=np.int32)
 
     def dirichlet_mask(self) -> np.ndarray:
@@ -270,9 +279,19 @@ def write_forces(path: str, n_nodes: int, factor: float, rows: np.ndarray, n_row
         fh.write("\n".join(out) + "\n")
 
 
+def read_mesh(path: str) -> ShellMesh:
+    """Format-dispatching mesh reader: .xda (libMesh ASCII) or .msh
+    (Gmsh 2.x), the formats the reference accepts (fem-shell.cpp:45-47)."""
+    if path.endswith(".msh"):
+        from fem_shell_tpu.io.gmsh import read_msh
+
+        return read_msh(path)
+    return read_xda(path)
+
+
 def load_mesh_and_forces(mesh_path: str) -> Tuple[ShellMesh, np.ndarray]:
     """Load a mesh plus its conventional ``_f`` force file (zeros if absent)."""
-    mesh = read_xda(mesh_path)
+    mesh = read_mesh(mesh_path)
     fpath = force_path_for(mesh_path)
     if os.path.exists(fpath):
         forces = read_forces(fpath, mesh.n_nodes)

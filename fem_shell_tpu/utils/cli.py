@@ -121,7 +121,15 @@ def main(argv: Optional[List[str]] = None) -> int:
     if args.out:
         write_vtu(mesh, args.out + ".vtu", displacement=u, displace=True)
         write_legacy_vtk(mesh, args.out + ".vtk", displacement=u, displace=True)
-        print(f"Wrote {args.out}.vtu and {args.out}.vtk")
+        wrote = [args.out + ".vtu", args.out + ".vtk"]
+        try:
+            from fem_shell_tpu.io.exodus import write_exodus
+
+            write_exodus(mesh, args.out + ".e", displacements=u)
+            wrote.append(args.out + ".e")
+        except RuntimeError:
+            pass  # scipy unavailable; VTK outputs cover visualization
+        print("Wrote " + " and ".join(wrote))
 
     print("All done :)")
     return 0

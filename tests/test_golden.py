@@ -9,9 +9,9 @@ XDA fixtures); A/B/E are hand-made meshes embedded as data modules.
 import numpy as np
 import pytest
 
-import data_test_a as A
-import data_test_b as B
-import data_test_e as E
+from fem_shell_tpu.data import test_a as A
+from fem_shell_tpu.data import test_b as B
+from fem_shell_tpu.data import test_e as E
 from helpers import mesh_from_quads, mesh_from_tris, solve
 
 from fem_shell_tpu.meshgen import MeshGenParams, generate

@@ -48,7 +48,7 @@ def test_tri_shard_count_invariance(ndev):
 
 def test_mixed_mesh_sharded():
     """Mesh with both element families sharded together."""
-    import data_test_e as E  # I-beam (tri) — add a quad strip alongside
+    from fem_shell_tpu.data import test_e as E  # I-beam (tri)
 
     from helpers import mesh_from_tris
 
