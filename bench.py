@@ -53,14 +53,16 @@ def main():
         mesh, Material(nu=0.3, em=1e7, thickness=0.5), dtype=jnp.float64, chunk=4096
     )
 
-    # warm-up (compile); solve() returns a host numpy array (synchronized)
-    u = system.solve(forces, rtol=RTOL, maxiter=20000)
+    # double-float solve: f64-class accuracy from VPU-native two-f32
+    # arithmetic (ops/df.py) — TPU f64 is emulated and ~2x slower.
+    # warm-up (compile); returns a host numpy array (synchronized)
+    u = system.solve_df(forces, rtol=RTOL, maxiter=20000)
     center = mesh.n_nodes // 2
     w = float(u[center, 2])
     err = abs(w - GOLDEN_CENTER_W) / GOLDEN_CENTER_W
     print(
-        f"# device={jax.devices()[0]} iters={int(system.last_cg.iters)} "
-        f"residual={float(system.last_cg.residual):.2e} center_w={w:.6f} "
+        f"# device={jax.devices()[0]} iters={system.last_iters} "
+        f"residual={system.last_residual:.2e} center_w={w:.6f} "
         f"golden_err={err:.2e}",
         file=sys.stderr,
     )
@@ -69,7 +71,7 @@ def main():
     times = []
     for _ in range(REPS):
         t0 = time.perf_counter()
-        u = system.solve(forces, rtol=RTOL, maxiter=20000)
+        u = system.solve_df(forces, rtol=RTOL, maxiter=20000)
         times.append(time.perf_counter() - t0)
     t = float(np.mean(times))
     print(

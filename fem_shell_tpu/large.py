@@ -106,6 +106,62 @@ class LargeShellSystem:
         with jax.default_matmul_precision("highest"):
             return self._assemble_jit(self.coords)
 
+    # ------------------------------------------------------------------
+    # double-float solve: f64 assembly (one-time) -> df operator/vectors ->
+    # VPU-native df-PCG. Requires dtype=float64 for the assembly precision.
+    def _solve_df_impl(self, coords, forces_t64, rtol, maxiter):
+        """Symmetrically diagonal-scaled df solve.
+
+        The raw shell operator's diagonal spans ~7 decades (drilling dofs
+        are 1000x softer by construction), which multiplies the df
+        matvec's compensated-summation error by the scaling spread and
+        stalls CG around 1e-6 relative. Solving
+        D^-1/2 K D^-1/2 (D^1/2 x) = D^-1/2 b instead — identical to
+        Jacobi-PCG in exact arithmetic — equilibrates the terms so the df
+        error stays at the ~1e-12 level, and makes the preconditioner the
+        identity. Scaling happens once in f64; the loop is pure df/f32.
+        """
+        from fem_shell_tpu.ops.df import df_from_f64, df_stencil_matvec, df_to_f64
+        from fem_shell_tpu.solver_df import pcg_df
+
+        if self.offsets is None:
+            raise NotImplementedError("df solve currently requires stencil mode")
+
+        values64 = self._assemble_impl(coords)
+        diag64 = soa_diagonal(values64, adj_t=self.adj_t, offsets=self.offsets)
+        s = jnp.where(diag64 > 0, jax.lax.rsqrt(diag64), 1.0)  # [6, Npad]
+        k, npad = values64.shape[1], values64.shape[2]
+        v4 = values64.reshape(6, 6, k, npad)
+        v4 = v4 * s[:, None, None, :]
+        for si, off in enumerate(self.offsets):
+            col_s = jnp.roll(s, -int(off), axis=1)
+            v4 = v4.at[:, :, si, :].multiply(col_s[None, :, :])
+        values = df_from_f64(v4.reshape(36, k, npad))
+
+        free = (self.free_t != 0).astype(forces_t64.dtype)
+        b = df_from_f64(forces_t64 * free * s)
+
+        ones = jnp.ones_like(s, jnp.float32)
+        matvec = lambda x: df_stencil_matvec(values, x, self.offsets)  # noqa: E731
+        res = pcg_df(matvec, b, ones, rtol=rtol, maxiter=maxiter)
+        return df_to_f64(res.x) * s, res.iters, res.residual
+
+    def solve_df(self, forces, rtol: float = 1e-10, maxiter: int = 20000):
+        """Double-float solve: f64-class accuracy from pure-f32 VPU work.
+        The system must be constructed with dtype=jnp.float64."""
+        assert self.dtype == jnp.float64, "construct with dtype=float64 for df solves"
+        if not hasattr(self, "_solve_df_jit"):
+            self._solve_df_jit = jax.jit(self._solve_df_impl, static_argnums=(2, 3))
+        p = self.pattern
+        f = np.zeros((p.n_pad, 6))
+        f[: p.n_nodes] = np.asarray(forces)
+        f_t = jnp.asarray(f.T, jnp.float64)
+        with jax.default_matmul_precision("highest"):
+            x64, iters, res = self._solve_df_jit(self.coords, f_t, rtol, maxiter)
+        self.last_iters = int(iters)
+        self.last_residual = float(res)
+        return np.asarray(x64).T[: p.n_nodes]
+
     def solve(self, forces, rtol: float = 1e-10, maxiter: int = 20000):
         p = self.pattern
         f = np.zeros((p.n_pad, 6))
