@@ -97,7 +97,10 @@ def run_structure(
 
     dtype = dtype if dtype is not None else jnp.float64
     system = ShellSystem(mesh, material, dtype=dtype)
-    solve = system  # alias
+    # geometry is fixed across the whole coupled run: assemble + factor the
+    # preconditioner ONCE instead of per coupling iteration (the reference
+    # re-assembles in every equation_systems.solve(), fem-shell_precice.cpp:271)
+    repeat_solve = system.make_repeat_solver(rtol=rtol, maxiter=maxiter)
 
     n = mesh.n_nodes
     pre_sols = np.zeros((n, 6))
@@ -120,8 +123,9 @@ def run_structure(
             forces[iface_nodes, c0] = iface_forces[:, 0]
             forces[iface_nodes, c1] = iface_forces[:, 1]
 
-        sols = np.asarray(solve.solve(forces, rtol=rtol, maxiter=maxiter))
-        iters.append(int(system.last_cg.iters))
+        u, n_it, _res = repeat_solve(forces)
+        sols = np.asarray(u)
+        iters.append(int(n_it))
 
         # delta displacements on the interface (fem-shell_precice.cpp:282-317)
         if dims == 3:

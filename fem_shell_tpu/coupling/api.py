@@ -17,14 +17,13 @@ measure, the acceleration, and the simulation clock.
 """
 from __future__ import annotations
 
-import dataclasses
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import numpy as np
 
-from fem_shell_tpu.coupling.accel import IQNILS, ConstantRelaxation
+from fem_shell_tpu.coupling.accel import IQNILS
 from fem_shell_tpu.coupling.config import CouplingConfig, parse_config
-from fem_shell_tpu.coupling.m2n import InProcessTransport, SocketTransport, Transport
+from fem_shell_tpu.coupling.m2n import SocketTransport, Transport
 from fem_shell_tpu.coupling.mapping import NearestNeighborMapping
 
 # action constants (precice::constants analog)

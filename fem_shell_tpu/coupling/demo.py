@@ -15,7 +15,6 @@ separate-process mode is exercised via the console scripts
 from __future__ import annotations
 
 import os
-import sys
 import threading
 from typing import Optional
 

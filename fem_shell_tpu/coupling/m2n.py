@@ -15,7 +15,7 @@ import queue
 import socket
 import struct
 import time
-from typing import Any, Optional, Tuple
+from typing import Any, Tuple
 
 _LEN = struct.Struct("!Q")
 

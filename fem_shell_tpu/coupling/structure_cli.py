@@ -33,7 +33,6 @@ def main(argv: Optional[List[str]] = None) -> int:
     import jax
 
     jax.config.update("jax_enable_x64", True)
-    import numpy as np
 
     from fem_shell_tpu.coupling.adapter import run_structure
     from fem_shell_tpu.io.vtk import write_vtu

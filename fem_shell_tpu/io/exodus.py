@@ -14,7 +14,7 @@ from typing import Dict, Optional, Sequence
 
 import numpy as np
 
-from fem_shell_tpu.mesh import ShellMesh, XDA_QUAD4, XDA_TRI3
+from fem_shell_tpu.mesh import ShellMesh
 
 _LEN_STRING = 33
 

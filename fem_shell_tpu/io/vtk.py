@@ -19,7 +19,7 @@ from typing import Dict, Optional
 
 import numpy as np
 
-from fem_shell_tpu.mesh import ShellMesh, XDA_QUAD4, XDA_TRI3
+from fem_shell_tpu.mesh import ShellMesh, XDA_TRI3
 
 _VTK_TRI = 5
 _VTK_QUAD = 9

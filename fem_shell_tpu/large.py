@@ -5,7 +5,6 @@ ShellSystem (same elements, BCs, PCG); verified against it in tests.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax

@@ -9,7 +9,6 @@ capability the reference C++ stack does not have).
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Tuple
 
 import jax

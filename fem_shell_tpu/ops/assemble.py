@@ -24,7 +24,7 @@ the matrix-free path), which yields the identical solution.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

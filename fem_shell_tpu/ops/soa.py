@@ -22,8 +22,7 @@ meshes — where it is latency- not layout-bound).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

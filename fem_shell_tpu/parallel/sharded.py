@@ -23,9 +23,7 @@ the element compute with the reduce-scatter and fuses the CG body.
 """
 from __future__ import annotations
 
-import dataclasses
-from functools import partial
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

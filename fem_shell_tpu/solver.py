@@ -15,8 +15,6 @@ analogous to ``-ksp_rtol/-ksp_max_it``.
 """
 from __future__ import annotations
 
-import dataclasses
-from functools import partial
 from typing import Callable, NamedTuple
 
 import jax

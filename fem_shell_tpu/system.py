@@ -8,8 +8,6 @@ element-parallel assembly with the iterative solve setup.
 """
 from __future__ import annotations
 
-import dataclasses
-from functools import partial
 from typing import Optional, Tuple
 
 import jax
@@ -129,6 +127,37 @@ class ShellSystem:
             x, res = self._solve_pcg_jit(self.coords, forces, rtol, maxiter, precond)
         self.last_cg = res
         return x
+
+    # ------------------------------------------------------------------
+    def make_repeat_solver(
+        self,
+        rtol: float = 1e-10,
+        maxiter: int = 20000,
+        precond: str = "block_jacobi",
+    ):
+        """For repeated solves with FIXED geometry (the coupling loop case,
+        fem-shell_precice.cpp:271 re-solves per coupling iteration):
+        assemble + factor the preconditioner once, return a jitted
+        ``forces [N,6] -> (u [N,6], iters, residual)`` closure."""
+        with jax.default_matmul_precision("highest"):
+            a = self._assemble_jit(self.coords)
+            if precond == "block_jacobi":
+                from fem_shell_tpu.ops.blockprec import cholesky6, cholesky6_solve
+
+                l_blocks = cholesky6(a.diagonal_blocks())
+                apply_prec = lambda r: cholesky6_solve(l_blocks, r)  # noqa: E731
+            else:
+                diag = a.diagonal()
+                inv_diag = jnp.where(diag != 0, 1.0 / diag, 1.0)
+                apply_prec = lambda r: inv_diag * r  # noqa: E731
+
+            @jax.jit
+            def solve(forces):
+                b = jnp.asarray(forces, self.dtype) * self.free_mask
+                res = pcg(a.matvec, b, rtol=rtol, maxiter=maxiter, apply_prec=apply_prec)
+                return res.x, res.iters, res.residual
+
+        return solve
 
     # ------------------------------------------------------------------
     def solution_vector(self, u) -> np.ndarray:
