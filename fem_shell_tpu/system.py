@@ -63,7 +63,7 @@ class ShellSystem:
         self.free_mask = jnp.asarray(~constrained, dtype)
 
         self._assemble_jit = jax.jit(self._assemble_impl)
-        self._solve_pcg_jit = jax.jit(self._solve_pcg_impl, static_argnums=(2, 3, 4))
+        self._solve_pcg_jit = jax.jit(self._solve_pcg_impl, static_argnums=(2, 3, 4, 5))
         self._solve_dense_jit = jax.jit(self._solve_dense_impl)
 
     # ------------------------------------------------------------------
@@ -81,7 +81,7 @@ class ShellSystem:
 
     # ------------------------------------------------------------------
     def _solve_pcg_impl(
-        self, coords, forces, rtol, maxiter, precond="block_jacobi"
+        self, coords, forces, rtol, maxiter, precond="block_jacobi", differentiable=False
     ) -> Tuple[jnp.ndarray, CGResult]:
         a = self._assemble_impl(coords)
         b = forces * self.free_mask
@@ -93,10 +93,30 @@ class ShellSystem:
 
             l_blocks = cholesky6(a.diagonal_blocks())
             apply_prec = lambda r: cholesky6_solve(l_blocks, r)  # noqa: E731
-            res = pcg(a.matvec, b, rtol=rtol, maxiter=maxiter, apply_prec=apply_prec)
         else:
-            res = pcg(a.matvec, b, diag=a.diagonal(), rtol=rtol, maxiter=maxiter)
-        return res.x, res
+            diag = a.diagonal()
+            inv_diag = jnp.where(diag != 0, 1.0 / diag, 1.0)
+            apply_prec = lambda r: inv_diag * r  # noqa: E731
+
+        if not differentiable:
+            res = pcg(a.matvec, b, rtol=rtol, maxiter=maxiter, apply_prec=apply_prec)
+            return res.x, res
+
+        # implicit differentiation: lax.custom_linear_solve makes the CG
+        # solve reverse-differentiable (adjoint solve with the same SPD
+        # operator) — gradients flow through the operator's dependence on
+        # coords/material via the matvec closure, so jax.grad through
+        # assemble+solve works (load and shape sensitivities). The
+        # reference C++ stack has no analog of this capability. Iteration
+        # stats cannot escape the inner solve scope; the residual is
+        # recomputed with one extra matvec and iters reported as -1.
+        def solve_fn(mv, rhs):
+            return pcg(mv, rhs, rtol=rtol, maxiter=maxiter, apply_prec=apply_prec).x
+
+        x = jax.lax.custom_linear_solve(a.matvec, b, solve=solve_fn, symmetric=True)
+        r = b - a.matvec(x)
+        rel = jnp.sqrt(jnp.sum(r * r)) / jnp.maximum(jnp.sqrt(jnp.sum(b * b)), 1e-300)
+        return x, CGResult(x, jnp.asarray(-1, jnp.int32), rel)
 
     def _solve_dense_impl(self, coords, forces) -> jnp.ndarray:
         a = self._assemble_impl(coords)

@@ -17,6 +17,8 @@ plus TPU-native extras:
   --precond   block_jacobi | jacobi
   --f32       solve in float32 (TPU-native speed; f64 is the default for
               golden-accurate results)
+  --df        double-float solve (two-f32 error-free arithmetic on the
+              VPU: f64-class accuracy at ~2x emulated-f64 speed; TPU only)
   --devices   shard the solve over the first N local devices (SPMD domain
               decomposition; the mpirun -n N analog)
 
@@ -47,6 +49,7 @@ def _parse(argv: List[str]):
     ap.add_argument("--method", choices=("pcg", "dense"), default="pcg")
     ap.add_argument("--precond", choices=("block_jacobi", "jacobi"), default="block_jacobi")
     ap.add_argument("--f32", action="store_true")
+    ap.add_argument("--df", action="store_true")
     ap.add_argument("--devices", type=int, default=1)
     return ap.parse_args(argv)
 
@@ -91,6 +94,12 @@ def main(argv: Optional[List[str]] = None) -> int:
         system = ShardedShellSystem(mesh, material, make_device_mesh(args.devices), dtype=dtype)
         u = np.asarray(system.solve(forces, rtol=args.rtol, maxiter=args.maxiter))
         iters, res = system.last_iters, system.last_residual
+    elif args.df:
+        from fem_shell_tpu.large import LargeShellSystem
+
+        system = LargeShellSystem(mesh, material, dtype=jnp.float64)
+        u = np.asarray(system.solve_df(forces, rtol=args.rtol, maxiter=args.maxiter))
+        iters, res = system.last_iters, system.last_residual
     else:
         system = ShellSystem(mesh, material, dtype=dtype)
         u = np.asarray(
@@ -108,6 +117,15 @@ def main(argv: Optional[List[str]] = None) -> int:
             iters, res = 0, 0.0
     if args.method == "pcg":
         print(f"Linear solve: {iters} CG iterations, relative residual {res:.3e}")
+        import math
+
+        if not math.isfinite(res):
+            print("ERROR: linear solve diverged (non-finite residual) — "
+                  "check material parameters and boundary conditions.")
+            return 2
+        if res > args.rtol * 10:
+            print(f"WARNING: solver stopped above the requested tolerance "
+                  f"({res:.2e} > {args.rtol:.0e}); increase --maxiter.")
 
     if args.d:
         print("Solution: u_vec = [")
