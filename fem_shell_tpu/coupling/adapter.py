@@ -53,6 +53,7 @@ def run_structure(
     maxiter: int = 20000,
     max_timesteps: Optional[int] = None,
     dtype=None,
+    devices: int = 1,
 ) -> CoupledRunResult:
     """Execute the coupled structure solve until the coupling ends.
 
@@ -96,11 +97,27 @@ def run_structure(
         iface_forces = interface.read_block_vector_data(force_id, vertex_ids)
 
     dtype = dtype if dtype is not None else jnp.float64
-    system = ShellSystem(mesh, material, dtype=dtype)
-    # geometry is fixed across the whole coupled run: assemble + factor the
-    # preconditioner ONCE instead of per coupling iteration (the reference
-    # re-assembles in every equation_systems.solve(), fem-shell_precice.cpp:271)
-    repeat_solve = system.make_repeat_solver(rtol=rtol, maxiter=maxiter)
+    if devices > 1:
+        # device-parallel structure participant — the analog of the
+        # reference's MPI-parallel solver under preCICE master mode
+        # (precice_config_mpi.xml, doc/coupling.tex:178-224): the coupling
+        # surface stays whole on the host; the solve is SPMD inside.
+        from fem_shell_tpu.parallel.sharded import ShardedShellSystem, make_device_mesh
+
+        sharded = ShardedShellSystem(mesh, material, make_device_mesh(devices), dtype=dtype)
+
+        def repeat_solve(f):
+            u = sharded.solve(f, rtol=rtol, maxiter=maxiter)
+            return u, sharded.last_iters, sharded.last_residual
+
+        system = sharded
+    else:
+        system = ShellSystem(mesh, material, dtype=dtype)
+        # geometry is fixed across the whole coupled run: assemble + factor
+        # the preconditioner ONCE instead of per coupling iteration (the
+        # reference re-assembles in every equation_systems.solve(),
+        # fem-shell_precice.cpp:271)
+        repeat_solve = system.make_repeat_solver(rtol=rtol, maxiter=maxiter)
 
     n = mesh.n_nodes
     pre_sols = np.zeros((n, 6))

@@ -28,6 +28,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     ap.add_argument("-axis", default="0", help="dead axis for 2D coupling (x|y|z)")
     ap.add_argument("--rtol", type=float, default=1e-10)
     ap.add_argument("--steps", type=int, default=None)
+    ap.add_argument("--devices", type=int, default=1,
+                    help="device-parallel structure solve (MPI-participant analog)")
     args = ap.parse_args(sys.argv[1:] if argv is None else argv)
 
     import jax
@@ -60,6 +62,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         on_timestep=on_timestep,
         rtol=args.rtol,
         max_timesteps=args.steps,
+        devices=args.devices,
     )
     print(f"Exiting Structure Solver ({result.timesteps} timesteps)")
     print("All done :)")

@@ -171,3 +171,34 @@ def test_coupled_over_sockets_matches_inprocess():
     th.join(timeout=60)
     assert res.timesteps == 10
     np.testing.assert_allclose(res.solutions, ref.solutions, atol=1e-12)
+
+
+def test_coupled_parallel_structure_matches_serial():
+    """Test-H parallel==serial analog (doc/validation.tex:770): the
+    device-parallel structure participant reproduces the serial run."""
+    import jax.numpy as jnp
+
+    from fem_shell_tpu.coupling.adapter import run_structure
+    from fem_shell_tpu.coupling.fluid_dummy import run_fluid
+    from fem_shell_tpu.coupling.m2n import InProcessTransport
+    from fem_shell_tpu.materials import Material
+
+    ref, _ = run_demo(max_timesteps=8, verbose=False)
+
+    mesh = tower_mesh()
+    ts, tf = InProcessTransport.pair()
+    th = threading.Thread(target=lambda: run_fluid(CONFIG, transport=tf, max_timesteps=8), daemon=True)
+    th.start()
+    res = run_structure(
+        mesh,
+        Material(nu=0.3, em=1e6, thickness=0.1),
+        CONFIG,
+        dt=0.01,
+        dead_axis="y",
+        transport=ts,
+        max_timesteps=8,
+        devices=4,
+    )
+    th.join(timeout=120)
+    assert res.timesteps == 8
+    np.testing.assert_allclose(res.solutions, ref.solutions, atol=1e-9)
