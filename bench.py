@@ -54,9 +54,24 @@ def main():
     )
 
     # double-float solve: f64-class accuracy from VPU-native two-f32
-    # arithmetic (ops/df.py) — TPU f64 is emulated and ~2x slower.
-    # warm-up (compile); returns a host numpy array (synchronized)
-    u = system.solve_df(forces, rtol=RTOL, maxiter=20000)
+    # arithmetic (ops/df.py) — TPU f64 is emulated and ~2x slower. Falls
+    # back to the emulated-f64 solver if the df path fails on this
+    # device/toolchain (still ~37x the reference baseline).
+    def do_solve(f):
+        return system.solve_df(f, rtol=RTOL, maxiter=20000)
+
+    try:
+        u = do_solve(forces)  # warm-up (compile); synchronized numpy out
+    except Exception as e:  # pragma: no cover - device-specific fallback
+        print(f"# df solve unavailable ({type(e).__name__}); f64 fallback", file=sys.stderr)
+
+        def do_solve(f):
+            u = system.solve(f, rtol=RTOL, maxiter=20000)
+            system.last_iters = int(system.last_cg.iters)
+            system.last_residual = float(system.last_cg.residual)
+            return u
+
+        u = do_solve(forces)
     center = mesh.n_nodes // 2
     w = float(u[center, 2])
     err = abs(w - GOLDEN_CENTER_W) / GOLDEN_CENTER_W
@@ -71,7 +86,7 @@ def main():
     times = []
     for _ in range(REPS):
         t0 = time.perf_counter()
-        u = system.solve_df(forces, rtol=RTOL, maxiter=20000)
+        u = do_solve(forces)
         times.append(time.perf_counter() - t0)
     t = float(np.mean(times))
     print(
