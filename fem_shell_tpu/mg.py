@@ -1,0 +1,276 @@
+"""Geometric multigrid preconditioner for structured shell meshes.
+
+Jacobi-class preconditioning leaves CG iteration counts growing ~O(n^2)
+on plates (bending is a 4th-order operator); this module builds a
+rediscretization V-cycle on the meshGen grid hierarchy:
+
+- levels are re-assembled shell operators on nx/2^l x ny/2^l grids
+  (SoA stencil form, ops/soa.py),
+- transfers are bilinear node-grid prolongation P and its transpose
+  (FEM load-vector restriction) applied per dof component,
+- smoothing is damped Jacobi (symmetric pre/post, so the V-cycle is an
+  SPD preconditioner valid inside CG),
+- the coarsest level is solved exactly with a precomputed dense inverse.
+
+Usage: ``MultigridShellSystem(params, material).solve(forces)``; the
+mesh must be a meshGen product with nx, ny divisible by 2^levels.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fem_shell_tpu.materials import Material
+from fem_shell_tpu.meshgen import MeshGenParams, generate
+from fem_shell_tpu.ops.soa import (
+    apply_bc_soa,
+    build_soa_pattern,
+    soa_diagonal,
+    soa_matvec,
+)
+from fem_shell_tpu.solver import CGResult, pcg
+
+
+@dataclasses.dataclass
+class _Level:
+    values: jnp.ndarray  # [36, K, Npad]
+    offsets: tuple
+    free_t: jnp.ndarray  # [6, Npad]
+    inv_diag: jnp.ndarray  # [6, Npad]
+    nyp: int  # node rows
+    nxp: int  # node cols
+    npad: int
+    dense_inv: Optional[jnp.ndarray] = None  # coarsest level only
+
+
+def _to_grid(x, lvl: _Level):
+    return x[:, : lvl.nyp * lvl.nxp].reshape(6, lvl.nyp, lvl.nxp)
+
+
+def _from_grid(g, lvl: _Level):
+    flat = g.reshape(6, lvl.nyp * lvl.nxp)
+    return jnp.pad(flat, ((0, 0), (0, lvl.npad - lvl.nyp * lvl.nxp)))
+
+
+def _prolong(gc):
+    """Bilinear coarse->fine on node grids: [6, nc, mc] -> [6, 2nc-1, 2mc-1]."""
+    c = gc
+    # interleave rows
+    row_mid = 0.5 * (c[:, :-1, :] + c[:, 1:, :])
+    nr = c.shape[1] + row_mid.shape[1]
+    rows = jnp.zeros((6, nr, c.shape[2]), c.dtype)
+    rows = rows.at[:, 0::2, :].set(c)
+    rows = rows.at[:, 1::2, :].set(row_mid)
+    # interleave cols
+    col_mid = 0.5 * (rows[:, :, :-1] + rows[:, :, 1:])
+    ncl = rows.shape[2] + col_mid.shape[2]
+    out = jnp.zeros((6, rows.shape[1], ncl), rows.dtype)
+    out = out.at[:, :, 0::2].set(rows)
+    out = out.at[:, :, 1::2].set(col_mid)
+    return out
+
+
+def _restrict(gf):
+    """P^T on node grids: [6, 2nc-1, 2mc-1] -> [6, nc, mc]."""
+    # transpose of the prolongation above: each coarse node collects its own
+    # fine value + 1/2 of edge-midpoint neighbors + 1/4 of cell centers
+    f = gf
+    # columns first (transpose of col interleave)
+    even = f[:, :, 0::2]
+    odd = f[:, :, 1::2]
+    cols = even.at[:, :, :-1].add(0.5 * odd)
+    cols = cols.at[:, :, 1:].add(0.5 * odd)
+    even_r = cols[:, 0::2, :]
+    odd_r = cols[:, 1::2, :]
+    out = even_r.at[:, :-1, :].add(0.5 * odd_r)
+    out = out.at[:, 1:, :].add(0.5 * odd_r)
+    return out
+
+
+class MultigridShellSystem:
+    """Shell solver with a geometric V-cycle preconditioner (structured
+    meshGen grids; nx, ny divisible by 2^(levels-1))."""
+
+    def __init__(
+        self,
+        params: MeshGenParams,
+        material: Material,
+        dtype=jnp.float64,
+        n_levels: Optional[int] = None,
+        nu_smooth: int = 2,
+        omega: float = 0.7,
+        coarse_max: int = 8,
+    ):
+        self.params = params
+        self.material = material
+        self.dtype = dtype
+        self.nu_smooth = nu_smooth
+        self.omega = omega
+
+        if n_levels is None:
+            n_levels = 1
+            nx, ny = params.nx, params.ny
+            while nx % 2 == 0 and ny % 2 == 0 and max(nx, ny) > 2 * coarse_max:
+                nx //= 2
+                ny //= 2
+                n_levels += 1
+        self.n_levels = n_levels
+
+        from fem_shell_tpu.large import LargeShellSystem
+
+        self.levels: List[_Level] = []
+        for l in range(n_levels):
+            f = 2**l
+            if params.nx % f or params.ny % f:
+                raise ValueError(f"nx/ny not divisible by 2^{l}")
+            pl = dataclasses.replace(params, nx=params.nx // f, ny=params.ny // f)
+            mesh, _, _ = generate(pl)
+            sys_l = LargeShellSystem(mesh, material, dtype=dtype, chunk=4096)
+            if sys_l.offsets is None:
+                raise ValueError("multigrid requires stencil-addressable grids")
+            values = sys_l.assemble()
+            diag = soa_diagonal(values, offsets=sys_l.offsets)
+            lvl = _Level(
+                values=values,
+                offsets=tuple(int(o) for o in sys_l.offsets),
+                free_t=sys_l.free_t,
+                inv_diag=jnp.where(diag != 0, 1.0 / diag, 1.0),
+                nyp=pl.ny + 1,
+                nxp=pl.nx + 1,
+                npad=sys_l.pattern.n_pad,
+            )
+            self.levels.append(lvl)
+        # top level keeps its system for solve bookkeeping
+        self._fine_mesh, _, _ = generate(params)
+        self._fine = self.levels[0]
+
+        # coarsest: dense inverse, computed on host (TPU lacks LU support)
+        c = self.levels[-1]
+        dense = np.asarray(_densify(c), np.float64)
+        inv = np.linalg.inv(dense).astype(np.float64 if dtype == jnp.float64 else np.float32)
+        self.levels[-1] = dataclasses.replace(c, dense_inv=jnp.asarray(inv, dtype))
+
+        self._solve_jit = jax.jit(self._solve_impl, static_argnums=(1, 2))
+
+    # ------------------------------------------------------------------
+    def _smooth(self, lvl: _Level, x, b, sweeps):
+        for _ in range(sweeps):
+            r = b - soa_matvec(lvl.values, x, offsets=lvl.offsets)
+            x = x + self.omega * lvl.inv_diag * r
+        return x
+
+    def _vcycle(self, li: int, b):
+        lvl = self.levels[li]
+        if lvl.dense_inv is not None:
+            n_real = lvl.nyp * lvl.nxp
+            flat = (lvl.dense_inv @ b[:, :n_real].reshape(-1)).reshape(6, n_real)
+            flat = jnp.pad(flat, ((0, 0), (0, lvl.npad - n_real)))
+            return flat * lvl.free_t
+        x = jnp.zeros_like(b)
+        x = self._smooth(lvl, x, b, self.nu_smooth)
+        r = b - soa_matvec(lvl.values, x, offsets=lvl.offsets)
+        nxt = self.levels[li + 1]
+        rc = _from_grid(_restrict(_to_grid(r, lvl)), nxt) * nxt.free_t
+        ec = self._vcycle(li + 1, rc)
+        x = x + _from_grid(_prolong(_to_grid(ec, nxt)), lvl) * lvl.free_t
+        x = self._smooth(lvl, x, b, self.nu_smooth)
+        return x
+
+    def _solve_impl(self, forces_t, rtol, maxiter):
+        lvl = self._fine
+        b = forces_t * lvl.free_t
+        mv = lambda x: soa_matvec(lvl.values, x, offsets=lvl.offsets)  # noqa: E731
+        prec = lambda r: self._vcycle(0, r)  # noqa: E731
+        return pcg(mv, b, rtol=rtol, maxiter=maxiter, apply_prec=prec)
+
+    def solve(self, forces, rtol: float = 1e-10, maxiter: int = 2000):
+        lvl = self._fine
+        f = np.zeros((lvl.npad, 6))
+        f[: lvl.nyp * lvl.nxp] = np.asarray(forces)
+        f_t = jnp.asarray(f.T, self.dtype)
+        with jax.default_matmul_precision("highest"):
+            res = self._solve_jit(f_t, rtol, maxiter)
+        self.last_cg = res
+        return np.asarray(res.x).T[: lvl.nyp * lvl.nxp]
+
+    # ------------------------------------------------------------------
+    # df outer CG + f32 V-cycle preconditioner: the preconditioner only
+    # needs to be a fixed SPD operator, so it runs entirely in cheap f32
+    # while the CG recurrence keeps df (f64-class) accuracy. TPU-only
+    # (see ops/df.py on CPU FMA contraction).
+    def _ensure_f32_levels(self):
+        if hasattr(self, "_levels32"):
+            return
+        self._levels32 = [
+            dataclasses.replace(
+                l,
+                values=l.values.astype(jnp.float32),
+                free_t=l.free_t.astype(jnp.float32),
+                inv_diag=l.inv_diag.astype(jnp.float32),
+                dense_inv=None if l.dense_inv is None else l.dense_inv.astype(jnp.float32),
+            )
+            for l in self.levels
+        ]
+
+    def _vcycle32(self, li: int, b):
+        saved = self.levels
+        self.levels = self._levels32
+        try:
+            return self._vcycle(li, b)
+        finally:
+            self.levels = saved
+
+    def _solve_df_impl(self, forces_t64, rtol, maxiter):
+        from fem_shell_tpu.ops.df import DF, df_from_f64, df_stencil_matvec, df_to_f64
+        from fem_shell_tpu.solver_df import pcg_df
+
+        lvl = self._fine
+        b64 = forces_t64 * lvl.free_t
+        values_df = df_from_f64(lvl.values)
+        b = df_from_f64(b64)
+        mv = lambda x: df_stencil_matvec(values_df, x, lvl.offsets)  # noqa: E731
+
+        def prec(r: "DF"):
+            z32 = self._vcycle32(0, r.hi)
+            return DF(z32, jnp.zeros_like(z32))
+
+        res = pcg_df(mv, b, rtol=rtol, maxiter=maxiter, apply_prec=prec)
+        return df_to_f64(res.x), res.iters, res.residual
+
+    def solve_df(self, forces, rtol: float = 1e-9, maxiter: int = 2000):
+        assert self.dtype == jnp.float64
+        self._ensure_f32_levels()
+        if not hasattr(self, "_solve_df_jit"):
+            self._solve_df_jit = jax.jit(self._solve_df_impl, static_argnums=(1, 2))
+        lvl = self._fine
+        f = np.zeros((lvl.npad, 6))
+        f[: lvl.nyp * lvl.nxp] = np.asarray(forces)
+        f_t = jnp.asarray(f.T, jnp.float64)
+        with jax.default_matmul_precision("highest"):
+            x64, iters, res = self._solve_df_jit(f_t, rtol, maxiter)
+        self.last_iters = int(iters)
+        self.last_residual = float(res)
+        return np.asarray(x64).T[: lvl.nyp * lvl.nxp]
+
+
+def _densify(lvl: _Level) -> jnp.ndarray:
+    """Dense matrix over the REAL nodes of a (small) stencil level
+    (padded rows are decoupled identity and stay out of the dense solve)."""
+    n = lvl.nyp * lvl.nxp
+    k = len(lvl.offsets)
+    v = lvl.values.reshape(6, 6, k, lvl.npad)[:, :, :, :n]
+    dense = jnp.zeros((6, n, 6, n), lvl.values.dtype)
+    cols = jnp.arange(n)
+    for s, off in enumerate(lvl.offsets):
+        tgt = cols + off
+        ok = (tgt >= 0) & (tgt < n)
+        tgt_c = jnp.clip(tgt, 0, n - 1)
+        block = jnp.where(ok[None, None, :], v[:, :, s, :], 0.0)  # [6,6,n]
+        dense = dense.at[:, cols, :, tgt_c].add(jnp.transpose(block, (2, 0, 1)))
+    # SoA vectors flatten component-major ([6, n].reshape(-1) = a*n + i),
+    # so [6, n, 6, n] reshapes directly into the matching matrix layout
+    return dense.reshape(6 * n, 6 * n)

@@ -33,16 +33,19 @@ class DFCGResult(NamedTuple):
 def pcg_df(
     matvec: Callable[[DF], DF],
     b: DF,
-    inv_diag: jnp.ndarray,  # plain f32 preconditioner
+    inv_diag: jnp.ndarray = None,  # plain f32 Jacobi preconditioner...
     rtol: float = 1e-10,
     maxiter: int = 20000,
+    apply_prec: Callable[[DF], DF] = None,  # ...or any SPD prec in df
 ) -> DFCGResult:
+    if apply_prec is None:
+        apply_prec = lambda r: df_mul_f32(r, inv_diag)  # noqa: E731
     b_norm = jnp.sqrt(df_dot_f64(b, b))
     stop = rtol * b_norm
 
     x = df_zeros_like(b)
     r = b
-    z = df_mul_f32(r, inv_diag)
+    z = apply_prec(r)
     p = z
     rz = df_dot_f64(r, z)
 
@@ -58,7 +61,7 @@ def pcg_df(
         a_df = df_scalar_from_f64(alpha)
         x = df_add(x, df_scale(p, a_df))
         r = df_add(r, df_scale(ap, df_scalar_from_f64(-alpha)))
-        z = df_mul_f32(r, inv_diag)
+        z = apply_prec(r)
         rz_new = df_dot_f64(r, z)
         beta = df_scalar_from_f64(rz_new / rz)
         p = df_add(z, df_scale(p, beta))

@@ -1,0 +1,54 @@
+"""Geometric multigrid preconditioner tests (f64 paths; the mixed df+MG
+solve is TPU-only and validated there)."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fem_shell_tpu.materials import Material
+from fem_shell_tpu.meshgen import MeshGenParams, generate
+from fem_shell_tpu.mg import MultigridShellSystem, _prolong, _restrict
+from fem_shell_tpu.system import ShellSystem
+
+MAT = Material(nu=0.3, em=1e7, thickness=0.5)
+
+
+def test_restrict_is_prolong_transpose():
+    """<P xc, xf> == <xc, P^T xf> for random grids (exact adjointness is
+    required for the V-cycle to be an SPD preconditioner)."""
+    rng = np.random.default_rng(0)
+    xc = jnp.asarray(rng.normal(size=(6, 9, 9)))
+    xf = jnp.asarray(rng.normal(size=(6, 17, 17)))
+    lhs = float(jnp.sum(_prolong(xc) * xf))
+    rhs = float(jnp.sum(xc * _restrict(xf)))
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-13)
+
+
+def test_mg_matches_reference_solution():
+    p = MeshGenParams("q", 32, 32, 0, 0, 10, 10, (0, 0, 0, 0), 300.0, 2, True, "z")
+    mesh, rows, fac = generate(p)
+    forces = rows * fac
+    ref = np.asarray(ShellSystem(mesh, MAT).solve(forces))
+    mg = MultigridShellSystem(p, MAT)
+    u = mg.solve(forces, rtol=1e-10)
+    assert np.abs(u - ref).max() < 1e-8 * np.abs(ref).max()
+
+
+def test_mg_iteration_count_mesh_independent():
+    """The whole point: MG-PCG iterations stay ~constant under refinement
+    (Jacobi-PCG grows ~O(n^2) on plates)."""
+    counts = {}
+    for n in (32, 64):
+        p = MeshGenParams("q", n, n, 0, 0, 10, 10, (0, 0, 0, 0), 300.0, 2, True, "z")
+        mesh, rows, fac = generate(p)
+        mg = MultigridShellSystem(p, MAT)
+        mg.solve(rows * fac, rtol=1e-10)
+        counts[n] = int(mg.last_cg.iters)
+    assert counts[32] < 60 and counts[64] < 60
+    assert counts[64] <= 2 * counts[32]
+
+
+def test_mg_rejects_unsupported_grids():
+    p = MeshGenParams("q", 30, 30, 0, 0, 1, 1, (0, 0, 0, 0), 1.0, 2, True, "z")
+    mg = MultigridShellSystem(p, MAT, n_levels=2)  # 30/2=15 ok
+    with pytest.raises(ValueError):
+        MultigridShellSystem(p, MAT, n_levels=3)  # 30/4 not integer
