@@ -35,8 +35,14 @@ from fem_shell_tpu.ops.soa import (
 from fem_shell_tpu.solver import CGResult, pcg
 
 
+@jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class _Level:
+    """One grid level. Registered as a pytree (arrays = children, grid
+    metadata = aux) so level stacks can be passed as jit ARGUMENTS — as
+    closure constants they would be embedded into the HLO, which blows
+    past the remote-compile request size limit at scale."""
+
     values: jnp.ndarray  # [36, K, Npad]
     offsets: tuple
     free_t: jnp.ndarray  # [6, Npad]
@@ -45,6 +51,18 @@ class _Level:
     nxp: int  # node cols
     npad: int
     dense_inv: Optional[jnp.ndarray] = None  # coarsest level only
+
+    def tree_flatten(self):
+        return (
+            (self.values, self.free_t, self.inv_diag, self.dense_inv),
+            (self.offsets, self.nyp, self.nxp, self.npad),
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        values, free_t, inv_diag, dense_inv = children
+        offsets, nyp, nxp, npad = aux
+        return cls(values, offsets, free_t, inv_diag, nyp, nxp, npad, dense_inv)
 
 
 def _to_grid(x, lvl: _Level):
@@ -154,7 +172,7 @@ class MultigridShellSystem:
         inv = np.linalg.inv(dense).astype(np.float64 if dtype == jnp.float64 else np.float32)
         self.levels[-1] = dataclasses.replace(c, dense_inv=jnp.asarray(inv, dtype))
 
-        self._solve_jit = jax.jit(self._solve_impl, static_argnums=(1, 2))
+        self._solve_jit = jax.jit(self._solve_impl, static_argnums=(2, 3))
 
     # ------------------------------------------------------------------
     def _smooth(self, lvl: _Level, x, b, sweeps):
@@ -163,8 +181,8 @@ class MultigridShellSystem:
             x = x + self.omega * lvl.inv_diag * r
         return x
 
-    def _vcycle(self, li: int, b):
-        lvl = self.levels[li]
+    def _vcycle(self, levels, li: int, b):
+        lvl = levels[li]
         if lvl.dense_inv is not None:
             n_real = lvl.nyp * lvl.nxp
             flat = (lvl.dense_inv @ b[:, :n_real].reshape(-1)).reshape(6, n_real)
@@ -173,18 +191,18 @@ class MultigridShellSystem:
         x = jnp.zeros_like(b)
         x = self._smooth(lvl, x, b, self.nu_smooth)
         r = b - soa_matvec(lvl.values, x, offsets=lvl.offsets)
-        nxt = self.levels[li + 1]
+        nxt = levels[li + 1]
         rc = _from_grid(_restrict(_to_grid(r, lvl)), nxt) * nxt.free_t
-        ec = self._vcycle(li + 1, rc)
+        ec = self._vcycle(levels, li + 1, rc)
         x = x + _from_grid(_prolong(_to_grid(ec, nxt)), lvl) * lvl.free_t
         x = self._smooth(lvl, x, b, self.nu_smooth)
         return x
 
-    def _solve_impl(self, forces_t, rtol, maxiter):
-        lvl = self._fine
+    def _solve_impl(self, levels, forces_t, rtol, maxiter):
+        lvl = levels[0]
         b = forces_t * lvl.free_t
         mv = lambda x: soa_matvec(lvl.values, x, offsets=lvl.offsets)  # noqa: E731
-        prec = lambda r: self._vcycle(0, r)  # noqa: E731
+        prec = lambda r: self._vcycle(levels, 0, r)  # noqa: E731
         return pcg(mv, b, rtol=rtol, maxiter=maxiter, apply_prec=prec)
 
     def solve(self, forces, rtol: float = 1e-10, maxiter: int = 2000):
@@ -193,7 +211,7 @@ class MultigridShellSystem:
         f[: lvl.nyp * lvl.nxp] = np.asarray(forces)
         f_t = jnp.asarray(f.T, self.dtype)
         with jax.default_matmul_precision("highest"):
-            res = self._solve_jit(f_t, rtol, maxiter)
+            res = self._solve_jit(self.levels, f_t, rtol, maxiter)
         self.last_cg = res
         return np.asarray(res.x).T[: lvl.nyp * lvl.nxp]
 
@@ -216,26 +234,17 @@ class MultigridShellSystem:
             for l in self.levels
         ]
 
-    def _vcycle32(self, li: int, b):
-        saved = self.levels
-        self.levels = self._levels32
-        try:
-            return self._vcycle(li, b)
-        finally:
-            self.levels = saved
-
-    def _solve_df_impl(self, forces_t64, rtol, maxiter):
+    def _solve_df_impl(self, fine, levels32, forces_t64, rtol, maxiter):
         from fem_shell_tpu.ops.df import DF, df_from_f64, df_stencil_matvec, df_to_f64
         from fem_shell_tpu.solver_df import pcg_df
 
-        lvl = self._fine
-        b64 = forces_t64 * lvl.free_t
-        values_df = df_from_f64(lvl.values)
+        b64 = forces_t64 * fine.free_t
+        values_df = df_from_f64(fine.values)
         b = df_from_f64(b64)
-        mv = lambda x: df_stencil_matvec(values_df, x, lvl.offsets)  # noqa: E731
+        mv = lambda x: df_stencil_matvec(values_df, x, fine.offsets)  # noqa: E731
 
         def prec(r: "DF"):
-            z32 = self._vcycle32(0, r.hi)
+            z32 = self._vcycle(levels32, 0, r.hi)
             return DF(z32, jnp.zeros_like(z32))
 
         res = pcg_df(mv, b, rtol=rtol, maxiter=maxiter, apply_prec=prec)
@@ -245,13 +254,13 @@ class MultigridShellSystem:
         assert self.dtype == jnp.float64
         self._ensure_f32_levels()
         if not hasattr(self, "_solve_df_jit"):
-            self._solve_df_jit = jax.jit(self._solve_df_impl, static_argnums=(1, 2))
+            self._solve_df_jit = jax.jit(self._solve_df_impl, static_argnums=(3, 4))
         lvl = self._fine
         f = np.zeros((lvl.npad, 6))
         f[: lvl.nyp * lvl.nxp] = np.asarray(forces)
         f_t = jnp.asarray(f.T, jnp.float64)
         with jax.default_matmul_precision("highest"):
-            x64, iters, res = self._solve_df_jit(f_t, rtol, maxiter)
+            x64, iters, res = self._solve_df_jit(self.levels[0], self._levels32, f_t, rtol, maxiter)
         self.last_iters = int(iters)
         self.last_residual = float(res)
         return np.asarray(x64).T[: lvl.nyp * lvl.nxp]
