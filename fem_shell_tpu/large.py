@@ -64,30 +64,41 @@ class LargeShellSystem:
             and jax.devices()[0].platform != "cpu"
         )
 
+        # big static tables (connectivity, slots, masks) must cross the jit
+        # boundary as ARGUMENTS — as closure constants they get embedded in
+        # the serialized HLO and blow the remote-compile size limit at scale
+        self._tables = {
+            "tri_conn": self.tri_conn,
+            "quad_conn": self.quad_conn,
+            "tri_slot": self.tri_slot,
+            "quad_slot": self.quad_slot,
+            "free_t": self.free_t,
+            "adj_t": self.adj_t,
+        }
         self._assemble_jit = jax.jit(self._assemble_impl)
-        self._solve_jit = jax.jit(self._solve_impl, static_argnums=(2, 3))
+        self._solve_jit = jax.jit(self._solve_impl, static_argnums=(3, 4))
 
     # ------------------------------------------------------------------
-    def _assemble_impl(self, coords):
+    def _assemble_impl(self, coords, tables):
         values = assemble_soa(
             self.pattern,
             coords,
-            self.tri_conn,
-            self.quad_conn,
-            self.tri_slot,
-            self.quad_slot,
+            tables["tri_conn"],
+            tables["quad_conn"],
+            tables["tri_slot"],
+            tables["quad_slot"],
             self.dm,
             self.dp,
             self.thickness,
-            self.free_t,
+            tables["free_t"],
             chunk=self.chunk,
         )
-        return apply_bc_soa(values, self.free_t, adj_t=self.adj_t, offsets=self.offsets)
+        return apply_bc_soa(values, tables["free_t"], adj_t=tables["adj_t"], offsets=self.offsets)
 
-    def _solve_impl(self, coords, forces_t, rtol, maxiter):
-        values = self._assemble_impl(coords)
-        b = forces_t * self.free_t
-        diag = soa_diagonal(values, adj_t=self.adj_t, offsets=self.offsets)
+    def _solve_impl(self, coords, tables, forces_t, rtol, maxiter):
+        values = self._assemble_impl(coords, tables)
+        b = forces_t * tables["free_t"]
+        diag = soa_diagonal(values, adj_t=tables["adj_t"], offsets=self.offsets)
         if self._use_pallas:
             from fem_shell_tpu.ops.pallas_spmv import (
                 prepare_tiled_values,
@@ -97,18 +108,18 @@ class LargeShellSystem:
             vt, _ = prepare_tiled_values(values)  # one relayout, reused by all iters
             matvec = lambda x: stencil_spmv_pallas_tiled(vt, x, self.offsets)  # noqa: E731
         else:
-            matvec = lambda x: soa_matvec(values, x, adj_t=self.adj_t, offsets=self.offsets)  # noqa: E731
+            matvec = lambda x: soa_matvec(values, x, adj_t=tables["adj_t"], offsets=self.offsets)  # noqa: E731
         return pcg(matvec, b, diag=diag, rtol=rtol, maxiter=maxiter)
 
     # ------------------------------------------------------------------
     def assemble(self):
         with jax.default_matmul_precision("highest"):
-            return self._assemble_jit(self.coords)
+            return self._assemble_jit(self.coords, self._tables)
 
     # ------------------------------------------------------------------
     # double-float solve: f64 assembly (one-time) -> df operator/vectors ->
     # VPU-native df-PCG. Requires dtype=float64 for the assembly precision.
-    def _solve_df_impl(self, coords, forces_t64, rtol, maxiter):
+    def _solve_df_impl(self, coords, tables, forces_t64, rtol, maxiter):
         """Symmetrically diagonal-scaled df solve.
 
         The raw shell operator's diagonal spans ~7 decades (drilling dofs
@@ -126,8 +137,8 @@ class LargeShellSystem:
         if self.offsets is None:
             raise NotImplementedError("df solve currently requires stencil mode")
 
-        values64 = self._assemble_impl(coords)
-        diag64 = soa_diagonal(values64, adj_t=self.adj_t, offsets=self.offsets)
+        values64 = self._assemble_impl(coords, tables)
+        diag64 = soa_diagonal(values64, adj_t=tables["adj_t"], offsets=self.offsets)
         s = jnp.where(diag64 > 0, jax.lax.rsqrt(diag64), 1.0)  # [6, Npad]
         k, npad = values64.shape[1], values64.shape[2]
         v4 = values64.reshape(6, 6, k, npad)
@@ -137,7 +148,7 @@ class LargeShellSystem:
             v4 = v4.at[:, :, si, :].multiply(col_s[None, :, :])
         values = df_from_f64(v4.reshape(36, k, npad))
 
-        free = (self.free_t != 0).astype(forces_t64.dtype)
+        free = (tables["free_t"] != 0).astype(forces_t64.dtype)
         b = df_from_f64(forces_t64 * free * s)
 
         ones = jnp.ones_like(s, jnp.float32)
@@ -150,13 +161,13 @@ class LargeShellSystem:
         The system must be constructed with dtype=jnp.float64."""
         assert self.dtype == jnp.float64, "construct with dtype=float64 for df solves"
         if not hasattr(self, "_solve_df_jit"):
-            self._solve_df_jit = jax.jit(self._solve_df_impl, static_argnums=(2, 3))
+            self._solve_df_jit = jax.jit(self._solve_df_impl, static_argnums=(3, 4))
         p = self.pattern
         f = np.zeros((p.n_pad, 6))
         f[: p.n_nodes] = np.asarray(forces)
         f_t = jnp.asarray(f.T, jnp.float64)
         with jax.default_matmul_precision("highest"):
-            x64, iters, res = self._solve_df_jit(self.coords, f_t, rtol, maxiter)
+            x64, iters, res = self._solve_df_jit(self.coords, self._tables, f_t, rtol, maxiter)
         self.last_iters = int(iters)
         self.last_residual = float(res)
         return np.asarray(x64).T[: p.n_nodes]
@@ -167,6 +178,6 @@ class LargeShellSystem:
         f[: p.n_nodes] = np.asarray(forces)
         f_t = jnp.asarray(f.T, self.dtype)
         with jax.default_matmul_precision("highest"):
-            res = self._solve_jit(self.coords, f_t, rtol, maxiter)
+            res = self._solve_jit(self.coords, self._tables, f_t, rtol, maxiter)
         self.last_cg = res
         return np.asarray(res.x).T[: p.n_nodes]
