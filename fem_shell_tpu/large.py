@@ -31,11 +31,19 @@ class LargeShellSystem:
         dtype=jnp.float32,
         k_max: Optional[int] = None,
         chunk: int = 16384,
+        exact_geom: Optional[bool] = None,
+        dirichlet_mask: Optional[np.ndarray] = None,
     ):
+        """``exact_geom`` (default: on for f32) stores coordinates as a
+        two-float32 pair and re-centers each element exactly before the f32
+        kernels (ops/soa.py:_centered_xyz) — f64-class element geometry with
+        no emulated-f64 stage. ``dirichlet_mask`` overrides the mesh's own
+        BC mask (multigrid coarse levels pass subsampled fine masks)."""
         self.mesh = mesh
         self.material = material
         self.dtype = dtype
         self.chunk = int(chunk)
+        self.exact_geom = (dtype == jnp.float32) if exact_geom is None else bool(exact_geom)
         dm, dp = material.matrices()
         self.dm = jnp.asarray(dm, dtype)
         self.dp = jnp.asarray(dp, dtype)
@@ -43,7 +51,13 @@ class LargeShellSystem:
 
         self.pattern = build_soa_pattern(mesh, k_max=k_max)
         p = self.pattern
-        self.coords = jnp.asarray(mesh.coords, dtype)
+        if self.exact_geom:
+            c64 = np.asarray(mesh.coords, np.float64)
+            hi = c64.astype(np.float32)
+            lo = (c64 - hi).astype(np.float32)
+            self.coords = (jnp.asarray(hi), jnp.asarray(lo))
+        else:
+            self.coords = jnp.asarray(mesh.coords, dtype)
         self.tri_conn = jnp.asarray(mesh.tri)
         self.quad_conn = jnp.asarray(mesh.quad)
         self.tri_slot = jnp.asarray(p.tri_slot)
@@ -52,7 +66,8 @@ class LargeShellSystem:
         self.adj_t = jnp.asarray(p.adj_t) if p.adj_t is not None else None
 
         free = np.ones((p.n_pad, 6), dtype=np.float64)
-        free[: p.n_nodes] = ~mesh.dirichlet_mask()
+        mask = mesh.dirichlet_mask() if dirichlet_mask is None else np.asarray(dirichlet_mask, bool)
+        free[: p.n_nodes] = ~mask
         free[p.n_nodes :] = 0.0
         self.free_t = jnp.asarray(free.T, dtype)  # [6, Npad]
 
@@ -117,6 +132,88 @@ class LargeShellSystem:
             return self._assemble_jit(self.coords, self._tables)
 
     # ------------------------------------------------------------------
+    # strip-wise df assembly: f64-class operator accuracy with df (two-f32)
+    # storage and only strip-local f64 buffers — the multi-million-element
+    # path (full-f64 assembly OOMs around 10^6 nodes; f32 assembly loses
+    # ~kappa * eps32 solution accuracy — see ops/soa.py strip section).
+    def _strip_inputs(self, strip_nodes: int, chunk: int):
+        from fem_shell_tpu.ops.soa import build_strip_plan
+
+        key = (strip_nodes, chunk)
+        if getattr(self, "_strip_key", None) == key:
+            return self._strip_cache
+        p = self.pattern
+        tri_plan = build_strip_plan(p, self.mesh.tri, p.tri_slot, strip_nodes, chunk)
+        quad_plan = build_strip_plan(p, self.mesh.quad, p.quad_slot, strip_nodes, chunk)
+
+        def dev(plan):
+            if plan is None:
+                return None
+            return (
+                jnp.asarray(plan.conn),
+                jnp.asarray(plan.slot),
+                jnp.asarray(plan.weight),
+                jnp.asarray(plan.starts),
+            )
+
+        dm64, dp64 = self.material.matrices()
+        self._strip_cache = {
+            "tri_plan": tri_plan,
+            "quad_plan": quad_plan,
+            "tri_arrays": dev(tri_plan),
+            "quad_arrays": dev(quad_plan),
+            "coords64": jnp.asarray(self.mesh.coords, jnp.float64),
+            "dm64": jnp.asarray(dm64, jnp.float64),
+            "dp64": jnp.asarray(dp64, jnp.float64),
+        }
+        self._strip_key = key
+        return self._strip_cache
+
+    def assemble_df(self, strip_nodes: int = 65536, chunk: int = 8192):
+        """BC-constrained df operator values (hi, lo), each [36, K, Npad]
+        f32; entrywise accurate to ~eps64. Requires jax_enable_x64 (the
+        strip kernels run in emulated f64; one strip at a time)."""
+        from fem_shell_tpu.ops.df import DF
+        from fem_shell_tpu.ops.soa import apply_bc_soa_df, assemble_soa_df
+
+        c = self._strip_inputs(strip_nodes, chunk)
+        if getattr(self, "_assemble_df_key", None) != (strip_nodes, chunk):
+            self._assemble_df_key = (strip_nodes, chunk)
+
+            def impl(coords64, tri_arrays, quad_arrays, dm64, dp64, free32):
+                hi, lo = assemble_soa_df(
+                    self.pattern,
+                    coords64,
+                    c["tri_plan"],
+                    c["quad_plan"],
+                    tri_arrays,
+                    quad_arrays,
+                    dm64,
+                    dp64,
+                    self.thickness,
+                )
+                hi, lo = apply_bc_soa_df(
+                    hi, lo, free32, adj_t=self._tables["adj_t"], offsets=self.offsets
+                )
+                return hi, lo
+
+            self._assemble_df_jit = jax.jit(impl)
+        free32 = self.free_t.astype(jnp.float32)
+        with jax.default_matmul_precision("highest"):
+            hi, lo = self._assemble_df_jit(
+                c["coords64"], c["tri_arrays"], c["quad_arrays"], c["dm64"], c["dp64"], free32
+            )
+        return DF(hi, lo)
+
+    def free_strip_cache(self):
+        """Drop the (large, assembly-only) strip tables from device memory."""
+        self._strip_cache = None
+        self._strip_key = None
+        self._assemble_df_key = None
+        if hasattr(self, "_assemble_df_jit"):
+            del self._assemble_df_jit
+
+    # ------------------------------------------------------------------
     # double-float solve: f64 assembly (one-time) -> df operator/vectors ->
     # VPU-native df-PCG. Requires dtype=float64 for the assembly precision.
     def _solve_df_impl(self, coords, tables, forces_t64, rtol, maxiter):
@@ -156,12 +253,49 @@ class LargeShellSystem:
         res = pcg_df(matvec, b, ones, rtol=rtol, maxiter=maxiter)
         return df_to_f64(res.x) * s, res.iters, res.residual
 
+    def _solve_df_impl_f32(self, coords, tables, forces_t64, rtol, maxiter):
+        """df solve over a DIRECTLY f32-assembled operator (exact-geometry
+        centered kernels): no emulated-f64 assembly stage, half the operator
+        HBM. Same symmetric diagonal scaling as the f64 variant (see
+        _solve_df_impl docstring); here the scaling runs in f32, an
+        eps32-relative system perturbation of the same order as the f32
+        kernel evaluation itself."""
+        from fem_shell_tpu.ops.df import df_from_f64, df_stencil_matvec_f32v, df_to_f64
+        from fem_shell_tpu.solver_df import pcg_df
+
+        values = self._assemble_impl(coords, tables)  # [36,K,Npad] f32
+        diag = soa_diagonal(values, adj_t=tables["adj_t"], offsets=self.offsets)
+        s = jnp.where(diag > 0, jax.lax.rsqrt(diag), jnp.float32(1.0))  # [6,Npad]
+        k, npad = values.shape[1], values.shape[2]
+        v4 = values.reshape(6, 6, k, npad) * s[:, None, None, :]
+        for si, off in enumerate(self.offsets):
+            col_s = jnp.roll(s, -int(off), axis=1)
+            v4 = v4.at[:, :, si, :].multiply(col_s[None, :, :])
+        values = v4.reshape(36, k, npad)
+
+        s64 = s.astype(jnp.float64)
+        free = (tables["free_t"] != 0).astype(jnp.float64)
+        b = df_from_f64(forces_t64 * free * s64)
+        ones = jnp.ones_like(s)
+        matvec = lambda x: df_stencil_matvec_f32v(values, x, self.offsets)  # noqa: E731
+        res = pcg_df(matvec, b, ones, rtol=rtol, maxiter=maxiter)
+        return df_to_f64(res.x) * s64, res.iters, res.residual
+
     def solve_df(self, forces, rtol: float = 1e-10, maxiter: int = 20000):
         """Double-float solve: f64-class accuracy from pure-f32 VPU work.
-        The system must be constructed with dtype=jnp.float64."""
-        assert self.dtype == jnp.float64, "construct with dtype=float64 for df solves"
+        Two operator sources: dtype=float64 (emulated-f64 assembly, exact
+        reference arithmetic) or dtype=float32 with exact_geom (direct f32
+        assembly with exactly-centered geometry — the large-scale path)."""
+        if self.offsets is None:
+            raise NotImplementedError("df solve currently requires stencil mode")
+        if self.dtype == jnp.float32:
+            assert self.exact_geom, "f32 df solves need exact_geom=True assembly"
+            impl = self._solve_df_impl_f32
+        else:
+            assert self.dtype == jnp.float64, "construct with dtype=float64 or float32"
+            impl = self._solve_df_impl
         if not hasattr(self, "_solve_df_jit"):
-            self._solve_df_jit = jax.jit(self._solve_df_impl, static_argnums=(3, 4))
+            self._solve_df_jit = jax.jit(impl, static_argnums=(3, 4))
         p = self.pattern
         f = np.zeros((p.n_pad, 6))
         f[: p.n_nodes] = np.asarray(forces)

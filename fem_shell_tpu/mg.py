@@ -2,29 +2,36 @@
 
 Jacobi-class preconditioning leaves CG iteration counts growing ~O(n^2)
 on plates (bending is a 4th-order operator); this module builds a
-rediscretization V-cycle on the meshGen grid hierarchy:
+rediscretization V-cycle on a structured grid hierarchy:
 
-- levels are re-assembled shell operators on nx/2^l x ny/2^l grids
-  (SoA stencil form, ops/soa.py),
+- levels are re-assembled shell operators on every-2nd-node subsampled
+  grids (SoA stencil form, ops/soa.py) — works for any row-major
+  structured ``ShellMesh`` (loaded .xda/.msh or meshGen product), flat
+  or curved, detected from the connectivity (detect_structured_grid),
 - transfers are bilinear node-grid prolongation P and its transpose
   (FEM load-vector restriction) applied per dof component,
 - smoothing is damped Jacobi (symmetric pre/post, so the V-cycle is an
   SPD preconditioner valid inside CG),
 - the coarsest level is solved exactly with a precomputed dense inverse.
 
-Usage: ``MultigridShellSystem(params, material).solve(forces)``; the
-mesh must be a meshGen product with nx, ny divisible by 2^levels.
+Usage: ``MultigridShellSystem(mesh, material).solve(forces)`` with any
+structured mesh (``MeshGenParams`` still accepted); nx, ny must be
+divisible by 2^(levels-1). With ``dtype=float32`` the levels assemble
+directly in f32 via exact-geometry centered kernels (no emulated-f64
+stage) and ``solve_df`` runs df CG over the f32 fine operator — the
+multi-million-element production configuration.
 """
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional
+from typing import List, Optional, Union
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from fem_shell_tpu.materials import Material
+from fem_shell_tpu.mesh import ShellMesh, XDA_QUAD4, XDA_TRI3
 from fem_shell_tpu.meshgen import MeshGenParams, generate
 from fem_shell_tpu.ops.soa import (
     apply_bc_soa,
@@ -33,6 +40,83 @@ from fem_shell_tpu.ops.soa import (
     soa_matvec,
 )
 from fem_shell_tpu.solver import CGResult, pcg
+
+
+# ----------------------------------------------------------------------
+# structured-grid detection (any row-major grid mesh, not just meshGen's)
+# ----------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class GridInfo:
+    """Row-major structured grid: node = iy*nxp + ix."""
+
+    nxp: int  # nodes per row
+    nyp: int  # node rows
+    elem_type: str  # 'q' | 't'
+    ul_lr: bool  # tri diagonal orientation (meshGen main_all.cpp:163-224)
+
+
+def _grid_conn(nxp: int, nyp: int, elem_type: str, ul_lr: bool):
+    """(elem_types, elem_conn) of the canonical row-major grid mesh —
+    the same numbering meshgen.generate emits."""
+    nx, ny = nxp - 1, nyp - 1
+    yy, xx = np.meshgrid(np.arange(ny), np.arange(nx), indexing="ij")
+    n_id = (xx + yy * nxp).reshape(-1).astype(np.int64)
+    if elem_type == "q":
+        conn = np.stack([n_id, n_id + 1, n_id + nxp + 1, n_id + nxp], axis=1)
+        types = np.full(len(n_id), XDA_QUAD4, dtype=np.int32)
+        conn4 = conn.astype(np.int32)
+    else:
+        if ul_lr:
+            tri1 = np.stack([n_id, n_id + 1, n_id + nxp], axis=1)
+            tri2 = np.stack([n_id + 1, n_id + nxp + 1, n_id + nxp], axis=1)
+        else:
+            tri1 = np.stack([n_id, n_id + nxp + 1, n_id + 1], axis=1)
+            tri2 = np.stack([n_id + nxp + 1, n_id, n_id + nxp], axis=1)
+        both = np.stack([tri1, tri2], axis=1).reshape(-1, 3)
+        conn4 = np.hstack([both, np.full((len(both), 1), -1, dtype=np.int64)]).astype(np.int32)
+        types = np.full(len(both), XDA_TRI3, dtype=np.int32)
+    return types, conn4
+
+
+def detect_structured_grid(mesh: ShellMesh) -> Optional[GridInfo]:
+    """Recognize a row-major structured grid from the connectivity alone.
+
+    Candidate row widths come from the stencil offsets; each candidate is
+    VERIFIED by reconstructing the full canonical connectivity and
+    comparing arrays (tri stencils are ambiguous — {1, w-1, w} matches
+    both diagonal orientations — so verification, not heuristics)."""
+    n = mesh.n_nodes
+    if len(mesh.tri) and len(mesh.quad):
+        return None
+    elem_type = "q" if len(mesh.quad) else "t"
+    conn = mesh.quad if elem_type == "q" else mesh.tri
+    if len(conn) == 0:
+        return None
+    from fem_shell_tpu.ops.soa import _offsets_of
+
+    offs = _offsets_of(mesh)
+    top = int(offs[-1])
+    if elem_type == "q":
+        cands = [(top - 1, True)]  # quad offsets peak at nxp + 1
+    else:
+        cands = [(top, True), (top - 1, False)]  # ul_lr diag=nxp-1 | diag=nxp+1
+    for nxp, ul_lr in cands:
+        if nxp < 2 or n % nxp:
+            continue
+        nyp = n // nxp
+        if nyp < 2:
+            continue
+        n_cells = (nxp - 1) * (nyp - 1)
+        expect_e = n_cells if elem_type == "q" else 2 * n_cells
+        if len(conn) != expect_e:
+            continue
+        types, conn4 = _grid_conn(nxp, nyp, elem_type, ul_lr)
+        want = conn4[:, :4] if elem_type == "q" else conn4[:, :3]
+        if conn.shape == want.shape and (conn == want).all():
+            return GridInfo(nxp, nyp, elem_type, ul_lr)
+    return None
 
 
 @jax.tree_util.register_pytree_node_class
@@ -110,28 +194,47 @@ def _restrict(gf):
 
 
 class MultigridShellSystem:
-    """Shell solver with a geometric V-cycle preconditioner (structured
-    meshGen grids; nx, ny divisible by 2^(levels-1))."""
+    """Shell solver with a geometric V-cycle preconditioner (any row-major
+    structured grid mesh; nx, ny divisible by 2^(levels-1))."""
 
     def __init__(
         self,
-        params: MeshGenParams,
+        mesh: Union[ShellMesh, MeshGenParams],
         material: Material,
         dtype=jnp.float64,
         n_levels: Optional[int] = None,
         nu_smooth: int = 2,
         omega: float = 0.7,
         coarse_max: int = 8,
+        chunk: int = 16384,
+        df_operator: bool = False,
+        strip_nodes: int = 65536,
     ):
-        self.params = params
+        """``df_operator=True`` is the multi-million-element configuration:
+        every level is strip-assembled into a df (two-f32) operator
+        (LargeShellSystem.assemble_df) — f64-class entry accuracy with no
+        full-size f64 buffer; the fine-level df pair drives the outer df
+        CG while the V-cycle smooths on the (free) hi parts. Use with
+        dtype=jnp.float32 and solve via solve_df."""
+        if isinstance(mesh, MeshGenParams):
+            mesh, _, _ = generate(mesh)
         self.material = material
         self.dtype = dtype
+        self.df_operator = df_operator
         self.nu_smooth = nu_smooth
         self.omega = omega
 
+        grid = detect_structured_grid(mesh)
+        if grid is None:
+            raise ValueError(
+                "multigrid requires a row-major structured grid mesh "
+                "(detect_structured_grid failed)"
+            )
+        self.grid = grid
+
         if n_levels is None:
             n_levels = 1
-            nx, ny = params.nx, params.ny
+            nx, ny = grid.nxp - 1, grid.nyp - 1
             while nx % 2 == 0 and ny % 2 == 0 and max(nx, ny) > 2 * coarse_max:
                 nx //= 2
                 ny //= 2
@@ -140,30 +243,53 @@ class MultigridShellSystem:
 
         from fem_shell_tpu.large import LargeShellSystem
 
+        # level geometry/BC: every-2nd-node subsampling of the FINE grid —
+        # no meshGen parameters needed, curved structured shells included
+        coords_g = np.asarray(mesh.coords, np.float64).reshape(grid.nyp, grid.nxp, 3)
+        mask_g = mesh.dirichlet_mask().reshape(grid.nyp, grid.nxp, 6)
+
         self.levels: List[_Level] = []
         for l in range(n_levels):
             f = 2**l
-            if params.nx % f or params.ny % f:
+            if (grid.nxp - 1) % f or (grid.nyp - 1) % f:
                 raise ValueError(f"nx/ny not divisible by 2^{l}")
-            pl = dataclasses.replace(params, nx=params.nx // f, ny=params.ny // f)
-            mesh, _, _ = generate(pl)
-            sys_l = LargeShellSystem(mesh, material, dtype=dtype, chunk=4096)
+            cg, mg_ = coords_g[::f, ::f], mask_g[::f, ::f]
+            nyp_l, nxp_l = cg.shape[0], cg.shape[1]
+            types_l, conn_l = _grid_conn(nxp_l, nyp_l, grid.elem_type, grid.ul_lr)
+            mesh_l = (
+                mesh
+                if l == 0
+                else ShellMesh(cg.reshape(-1, 3), types_l, conn_l, np.zeros((0, 3), np.int32))
+            )
+            sys_l = LargeShellSystem(
+                mesh_l,
+                material,
+                dtype=dtype,
+                chunk=chunk if l == 0 else min(chunk, 4096),
+                dirichlet_mask=mg_.reshape(-1, 6),
+            )
             if sys_l.offsets is None:
                 raise ValueError("multigrid requires stencil-addressable grids")
-            values = sys_l.assemble()
+            if df_operator:
+                pair = sys_l.assemble_df(strip_nodes=strip_nodes, chunk=min(chunk, 8192))
+                sys_l.free_strip_cache()
+                if l == 0:
+                    self._fine_df = pair  # outer df CG operator
+                values = pair.hi  # V-cycle smoothing shares the hi part
+            else:
+                values = sys_l.assemble()
             diag = soa_diagonal(values, offsets=sys_l.offsets)
             lvl = _Level(
                 values=values,
                 offsets=tuple(int(o) for o in sys_l.offsets),
                 free_t=sys_l.free_t,
                 inv_diag=jnp.where(diag != 0, 1.0 / diag, 1.0),
-                nyp=pl.ny + 1,
-                nxp=pl.nx + 1,
+                nyp=nyp_l,
+                nxp=nxp_l,
                 npad=sys_l.pattern.n_pad,
             )
             self.levels.append(lvl)
-        # top level keeps its system for solve bookkeeping
-        self._fine_mesh, _, _ = generate(params)
+        self._fine_mesh = mesh
         self._fine = self.levels[0]
 
         # coarsest: dense inverse, computed on host (TPU lacks LU support)
@@ -250,17 +376,75 @@ class MultigridShellSystem:
         res = pcg_df(mv, b, rtol=rtol, maxiter=maxiter, apply_prec=prec)
         return df_to_f64(res.x), res.iters, res.residual
 
+    def _solve_df_impl_f32(self, fine, levels, forces_t64, rtol, maxiter):
+        """df outer CG directly over the f32-assembled fine operator
+        (exact-geometry centered kernels): no emulated-f64 stage anywhere,
+        half the fine-level HBM, and the V-cycle shares the same values —
+        the multi-million-element production path."""
+        from fem_shell_tpu.ops.df import DF, df_from_f64, df_stencil_matvec_f32v, df_to_f64
+        from fem_shell_tpu.solver_df import pcg_df
+
+        b = df_from_f64(forces_t64 * fine.free_t.astype(jnp.float64))
+        mv = lambda x: df_stencil_matvec_f32v(fine.values, x, fine.offsets)  # noqa: E731
+
+        def prec(r: "DF"):
+            z32 = self._vcycle(levels, 0, r.hi)
+            return DF(z32, jnp.zeros_like(z32))
+
+        res = pcg_df(mv, b, rtol=rtol, maxiter=maxiter, apply_prec=prec)
+        return df_to_f64(res.x), res.iters, res.residual
+
+    def _solve_df_impl_pair(self, fine_df, fine, levels, forces_t64, rtol, maxiter):
+        """df outer CG over a strip-assembled df operator pair: f64-class
+        operator accuracy at two-f32 storage/bandwidth. The V-cycle reuses
+        fine_df.hi through ``levels`` (no extra fine-level copy)."""
+        from fem_shell_tpu.ops.df import DF, df_from_f64, df_stencil_matvec, df_to_f64
+        from fem_shell_tpu.solver_df import pcg_df
+
+        b = df_from_f64(forces_t64 * fine.free_t.astype(jnp.float64))
+        mv = lambda x: df_stencil_matvec(fine_df, x, fine.offsets)  # noqa: E731
+
+        def prec(r: "DF"):
+            z32 = self._vcycle(levels, 0, r.hi)
+            return DF(z32, jnp.zeros_like(z32))
+
+        res = pcg_df(mv, b, rtol=rtol, maxiter=maxiter, apply_prec=prec)
+        return df_to_f64(res.x), res.iters, res.residual
+
     def solve_df(self, forces, rtol: float = 1e-9, maxiter: int = 2000):
-        assert self.dtype == jnp.float64
-        self._ensure_f32_levels()
+        if self.df_operator:
+            # the df pair is ~2x the operator size — it MUST cross the jit
+            # boundary as an ARGUMENT (closure constants are embedded into
+            # the serialized HLO; remote-compile size limit)
+            if not hasattr(self, "_solve_df_jit"):
+                self._solve_df_jit = jax.jit(self._solve_df_impl_pair, static_argnums=(4, 5))
+            lvl = self._fine
+            f = np.zeros((lvl.npad, 6))
+            f[: lvl.nyp * lvl.nxp] = np.asarray(forces)
+            f_t = jnp.asarray(f.T, jnp.float64)
+            with jax.default_matmul_precision("highest"):
+                x64, iters, res = self._solve_df_jit(
+                    self._fine_df, self.levels[0], self.levels, f_t, rtol, maxiter
+                )
+            self.last_iters = int(iters)
+            self.last_residual = float(res)
+            return np.asarray(x64).T[: lvl.nyp * lvl.nxp]
+        if self.dtype == jnp.float32:
+            levels32 = self.levels
+            impl = self._solve_df_impl_f32
+        else:
+            assert self.dtype == jnp.float64
+            self._ensure_f32_levels()
+            levels32 = self._levels32
+            impl = self._solve_df_impl
         if not hasattr(self, "_solve_df_jit"):
-            self._solve_df_jit = jax.jit(self._solve_df_impl, static_argnums=(3, 4))
+            self._solve_df_jit = jax.jit(impl, static_argnums=(3, 4))
         lvl = self._fine
         f = np.zeros((lvl.npad, 6))
         f[: lvl.nyp * lvl.nxp] = np.asarray(forces)
         f_t = jnp.asarray(f.T, jnp.float64)
         with jax.default_matmul_precision("highest"):
-            x64, iters, res = self._solve_df_jit(self.levels[0], self._levels32, f_t, rtol, maxiter)
+            x64, iters, res = self._solve_df_jit(self.levels[0], levels32, f_t, rtol, maxiter)
         self.last_iters = int(iters)
         self.last_residual = float(res)
         return np.asarray(x64).T[: lvl.nyp * lvl.nxp]

@@ -170,3 +170,26 @@ def df_stencil_matvec(values: DF, x: DF, offsets) -> DF:
             pe = pe + (vh[:, b, s, :] * xl[b] + vl[:, b, s, :] * xh[b])
             acc = df_add(acc, DF(p, pe))
     return acc
+
+
+def df_stencil_matvec_f32v(values_f32, x: DF, offsets) -> DF:
+    """y = A x with A stored as PLAIN f32 values and x, y in df.
+
+    The df solver only needs df vectors and exact per-term matvec
+    accumulation — the operator values define the system being solved, so
+    when the system was assembled directly in f32 (exact-geometry centered
+    kernels, ops/soa.py:_centered_xyz) there is no lo part to carry.
+    Halves operator HBM and drops the vl product vs df_stencil_matvec;
+    this is the multi-million-element production matvec."""
+    k, npad = values_f32.shape[1], values_f32.shape[2]
+    v = values_f32.reshape(6, 6, k, npad)
+    acc = DF(jnp.zeros((6, npad), jnp.float32), jnp.zeros((6, npad), jnp.float32))
+    for s, off in enumerate(offsets):
+        o = int(off)
+        xh = jnp.roll(x.hi, -o, axis=1)
+        xl = jnp.roll(x.lo, -o, axis=1)
+        for b in range(6):
+            p, pe = two_prod(v[:, b, s, :], xh[b])
+            pe = pe + v[:, b, s, :] * xl[b]
+            acc = df_add(acc, DF(p, pe))
+    return acc

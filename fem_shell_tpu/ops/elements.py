@@ -119,7 +119,7 @@ def _tri_membrane(dphi, area, dm, thickness):
     x12, y12 = dphi[0, 0], dphi[0, 1]
     x31, y31 = dphi[1, 0], dphi[1, 1]
     x23, y23 = dphi[2, 0], dphi[2, 1]
-    z = jnp.zeros(())
+    z = jnp.zeros((), dphi.dtype)
     b_m = jnp.array(
         [
             [y23, z, y31, z, y12, z],
@@ -156,7 +156,7 @@ def _quad_membrane(local_xy, dm, thickness):
         j10 = jnp.dot(dhds, lx)
         j11 = jnp.dot(dhds, ly)
         det = j00 * j11 - j01 * j10
-        z = jnp.zeros(())
+        z = jnp.zeros((), det.dtype)
         b3x4 = jnp.array(
             [
                 [j11, -j01, z, z],
@@ -164,7 +164,7 @@ def _quad_membrane(local_xy, dm, thickness):
                 [-j10, j00, j11, -j01],
             ]
         ) / det
-        g = jnp.zeros((4, 8))
+        g = jnp.zeros((4, 8), dhdr.dtype)
         g = g.at[0, 0::2].set(dhdr)
         g = g.at[1, 0::2].set(dhds)
         g = g.at[2, 1::2].set(dhdr)
@@ -172,7 +172,7 @@ def _quad_membrane(local_xy, dm, thickness):
         b_m = b3x4 @ g
         return det * thickness * (b_m.T @ dm @ b_m)
 
-    qps = jnp.array(_QUAD_QPS)
+    qps = jnp.array(_QUAD_QPS, local_xy.dtype)
     return jnp.sum(jax.vmap(qp_contrib)(qps), axis=0)
 
 
@@ -311,7 +311,7 @@ def _tri_plate(dphi, area, dp):
         yb = y @ b
         return (1.0 / 6.0) * (yb.T @ dp @ yb)
 
-    qps = jnp.array(_TRI_QPS)
+    qps = jnp.array(_TRI_QPS, dphi.dtype)
     ke = jnp.sum(jax.vmap(qp_contrib)(qps), axis=0)
     return 2.0 * area * ke
 
@@ -410,7 +410,7 @@ def _quad_plate(dphi, dp):
         b = _eval_b_quad(h, r, s, jinv)
         return det * (b.T @ dp @ b)
 
-    qps = jnp.array(_QUAD_QPS)
+    qps = jnp.array(_QUAD_QPS, dphi.dtype)
     return jnp.sum(jax.vmap(qp_contrib)(qps), axis=0)
 
 

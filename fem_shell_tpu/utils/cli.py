@@ -47,7 +47,13 @@ def _parse(argv: List[str]):
     ap.add_argument("--rtol", type=float, default=1e-10)
     ap.add_argument("--maxiter", type=int, default=20000)
     ap.add_argument("--method", choices=("pcg", "dense"), default="pcg")
-    ap.add_argument("--precond", choices=("block_jacobi", "jacobi"), default="block_jacobi")
+    ap.add_argument(
+        "--precond",
+        choices=("block_jacobi", "jacobi", "mg"),
+        default="block_jacobi",
+        help="mg = geometric multigrid V-cycle (structured grid meshes; "
+        "mesh-independent iteration counts — the best preconditioner here)",
+    )
     ap.add_argument("--f32", action="store_true")
     ap.add_argument("--df", action="store_true")
     ap.add_argument("--devices", type=int, default=1)
@@ -59,7 +65,8 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     import jax
 
-    if not args.f32:
+    if not args.f32 or args.df:
+        # df needs x64 for its (cheap, O(N)) f64 scalar/boundary stages
         jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
     import numpy as np
@@ -94,6 +101,20 @@ def main(argv: Optional[List[str]] = None) -> int:
         system = ShardedShellSystem(mesh, material, make_device_mesh(args.devices), dtype=dtype)
         u = np.asarray(system.solve(forces, rtol=args.rtol, maxiter=args.maxiter))
         iters, res = system.last_iters, system.last_residual
+    elif args.precond == "mg":
+        from fem_shell_tpu.mg import MultigridShellSystem, detect_structured_grid
+
+        if detect_structured_grid(mesh) is None:
+            print("ERROR: --precond mg needs a row-major structured grid mesh.")
+            return 2
+        mg_dtype = jnp.float32 if (args.f32 or args.df) else jnp.float64
+        system = MultigridShellSystem(mesh, material, dtype=mg_dtype)
+        if args.df:
+            u = np.asarray(system.solve_df(forces, rtol=args.rtol, maxiter=args.maxiter))
+            iters, res = system.last_iters, system.last_residual
+        else:
+            u = np.asarray(system.solve(forces, rtol=args.rtol, maxiter=args.maxiter))
+            iters, res = int(system.last_cg.iters), float(system.last_cg.residual)
     elif args.df:
         from fem_shell_tpu.large import LargeShellSystem
 
