@@ -90,9 +90,11 @@ def _kernel(offsets, r_tile, hr, x_hbm, values_ref, out_ref, x_vmem, sem):
         out_ref[a, :, :] = acc
 
 
-def stencil_spmv_pallas(values, x, offsets: Sequence[int], r_tile: int = 32):
+def stencil_spmv_pallas(values, x, offsets: Sequence[int], r_tile: int = 32, interpret: bool = False):
     """y = A x. ``values`` [36,K,Npad] f32, ``x`` [6,Npad] f32, ``offsets``
-    static ints (ascending). Npad must be a multiple of 128."""
+    static ints (ascending). Npad must be a multiple of 128.
+    ``interpret=True`` runs the kernel in the Pallas TPU interpreter
+    (CPU-hosted correctness tests, tests/test_pallas_spmv.py)."""
     k, npad = values.shape[1], values.shape[2]
     offsets = tuple(int(o) for o in offsets)
     assert len(offsets) == k and npad % LANES == 0
@@ -136,6 +138,7 @@ def stencil_spmv_pallas(values, x, offsets: Sequence[int], r_tile: int = 32):
             pltpu.VMEM((2, 8, r_tile + 2 * hr, LANES), x.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
+        interpret=interpret,
     )(x2, values2)
     return y2.reshape(6, npad)
 
@@ -226,7 +229,7 @@ def _kernel_tiled(offsets, k, r_tile, hr, x_hbm, values_ref, out_ref, x_vmem, se
         out_ref[a, :, :] = acc
 
 
-def stencil_spmv_pallas_tiled(values_tiled, x, offsets: Sequence[int]):
+def stencil_spmv_pallas_tiled(values_tiled, x, offsets: Sequence[int], interpret: bool = False):
     """y = A x with tile-major values from prepare_tiled_values()."""
     ntiles, rows36k, r_tile, _ = values_tiled.shape
     offsets = tuple(int(o) for o in offsets)
@@ -260,5 +263,6 @@ def stencil_spmv_pallas_tiled(values_tiled, x, offsets: Sequence[int]):
             pltpu.VMEM((2, 8, r_tile + 2 * hr, LANES), x.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
+        interpret=interpret,
     )(x2, values_tiled)
     return y2.reshape(6, npad)
