@@ -33,12 +33,26 @@ class LargeShellSystem:
         chunk: int = 16384,
         exact_geom: Optional[bool] = None,
         dirichlet_mask: Optional[np.ndarray] = None,
+        reorder: Optional[str] = None,
     ):
         """``exact_geom`` (default: on for f32) stores coordinates as a
         two-float32 pair and re-centers each element exactly before the f32
         kernels (ops/soa.py:_centered_xyz) — f64-class element geometry with
         no emulated-f64 stage. ``dirichlet_mask`` overrides the mesh's own
-        BC mask (multigrid coarse levels pass subsampled fine masks)."""
+        BC mask (multigrid coarse levels pass subsampled fine masks).
+        ``reorder='rcm'`` renumbers nodes by reverse Cuthill-McKee before
+        building the operator (bandwidth/locality for unstructured meshes;
+        solutions are returned in the ORIGINAL numbering)."""
+        self._order = None
+        if reorder == "rcm":
+            from fem_shell_tpu.mesh import permute_nodes, rcm_order
+
+            self._order = rcm_order(mesh)
+            if dirichlet_mask is not None:
+                dirichlet_mask = np.asarray(dirichlet_mask)[self._order]
+            mesh = permute_nodes(mesh, self._order)
+        elif reorder is not None:
+            raise ValueError(f"unknown reorder {reorder!r} (use 'rcm' or None)")
         self.mesh = mesh
         self.material = material
         self.dtype = dtype
@@ -91,7 +105,7 @@ class LargeShellSystem:
             "adj_t": self.adj_t,
         }
         self._assemble_jit = jax.jit(self._assemble_impl)
-        self._solve_jit = jax.jit(self._solve_impl, static_argnums=(3, 4))
+        self._solve_jit = jax.jit(self._solve_impl, static_argnums=(3, 4, 5))
 
     # ------------------------------------------------------------------
     def _assemble_impl(self, coords, tables):
@@ -110,10 +124,9 @@ class LargeShellSystem:
         )
         return apply_bc_soa(values, tables["free_t"], adj_t=tables["adj_t"], offsets=self.offsets)
 
-    def _solve_impl(self, coords, tables, forces_t, rtol, maxiter):
+    def _solve_impl(self, coords, tables, forces_t, rtol, maxiter, precond="jacobi"):
         values = self._assemble_impl(coords, tables)
         b = forces_t * tables["free_t"]
-        diag = soa_diagonal(values, adj_t=tables["adj_t"], offsets=self.offsets)
         if self._use_pallas:
             from fem_shell_tpu.ops.pallas_spmv import (
                 prepare_tiled_values,
@@ -124,6 +137,13 @@ class LargeShellSystem:
             matvec = lambda x: stencil_spmv_pallas_tiled(vt, x, self.offsets)  # noqa: E731
         else:
             matvec = lambda x: soa_matvec(values, x, adj_t=tables["adj_t"], offsets=self.offsets)  # noqa: E731
+        if precond == "block_jacobi":
+            from fem_shell_tpu.ops.soa import soa_self_blocks
+
+            inv = jnp.linalg.inv(soa_self_blocks(values, adj_t=tables["adj_t"], offsets=self.offsets))
+            prec = lambda r: jnp.einsum("nab,bn->an", inv, r)  # noqa: E731
+            return pcg(matvec, b, rtol=rtol, maxiter=maxiter, apply_prec=prec)
+        diag = soa_diagonal(values, adj_t=tables["adj_t"], offsets=self.offsets)
         return pcg(matvec, b, diag=diag, rtol=rtol, maxiter=maxiter)
 
     # ------------------------------------------------------------------
@@ -228,11 +248,13 @@ class LargeShellSystem:
         error stays at the ~1e-12 level, and makes the preconditioner the
         identity. Scaling happens once in f64; the loop is pure df/f32.
         """
-        from fem_shell_tpu.ops.df import df_from_f64, df_stencil_matvec, df_to_f64
+        from fem_shell_tpu.ops.df import (
+            df_from_f64,
+            df_gather_matvec,
+            df_stencil_matvec,
+            df_to_f64,
+        )
         from fem_shell_tpu.solver_df import pcg_df
-
-        if self.offsets is None:
-            raise NotImplementedError("df solve currently requires stencil mode")
 
         values64 = self._assemble_impl(coords, tables)
         diag64 = soa_diagonal(values64, adj_t=tables["adj_t"], offsets=self.offsets)
@@ -240,16 +262,22 @@ class LargeShellSystem:
         k, npad = values64.shape[1], values64.shape[2]
         v4 = values64.reshape(6, 6, k, npad)
         v4 = v4 * s[:, None, None, :]
-        for si, off in enumerate(self.offsets):
-            col_s = jnp.roll(s, -int(off), axis=1)
-            v4 = v4.at[:, :, si, :].multiply(col_s[None, :, :])
+        if self.offsets is not None:
+            for si, off in enumerate(self.offsets):
+                col_s = jnp.roll(s, -int(off), axis=1)
+                v4 = v4.at[:, :, si, :].multiply(col_s[None, :, :])
+        else:
+            v4 = v4 * s[:, tables["adj_t"]][None, :, :, :]
         values = df_from_f64(v4.reshape(36, k, npad))
 
         free = (tables["free_t"] != 0).astype(forces_t64.dtype)
         b = df_from_f64(forces_t64 * free * s)
 
         ones = jnp.ones_like(s, jnp.float32)
-        matvec = lambda x: df_stencil_matvec(values, x, self.offsets)  # noqa: E731
+        if self.offsets is not None:
+            matvec = lambda x: df_stencil_matvec(values, x, self.offsets)  # noqa: E731
+        else:
+            matvec = lambda x: df_gather_matvec(values, x, tables["adj_t"])  # noqa: E731
         res = pcg_df(matvec, b, ones, rtol=rtol, maxiter=maxiter)
         return df_to_f64(res.x) * s, res.iters, res.residual
 
@@ -286,9 +314,9 @@ class LargeShellSystem:
         Two operator sources: dtype=float64 (emulated-f64 assembly, exact
         reference arithmetic) or dtype=float32 with exact_geom (direct f32
         assembly with exactly-centered geometry — the large-scale path)."""
-        if self.offsets is None:
-            raise NotImplementedError("df solve currently requires stencil mode")
         if self.dtype == jnp.float32:
+            if self.offsets is None:
+                raise NotImplementedError("f32 df solves currently require stencil mode")
             assert self.exact_geom, "f32 df solves need exact_geom=True assembly"
             impl = self._solve_df_impl_f32
         else:
@@ -298,20 +326,32 @@ class LargeShellSystem:
             self._solve_df_jit = jax.jit(impl, static_argnums=(3, 4))
         p = self.pattern
         f = np.zeros((p.n_pad, 6))
-        f[: p.n_nodes] = np.asarray(forces)
+        f[: p.n_nodes] = self._forces_in(forces)
         f_t = jnp.asarray(f.T, jnp.float64)
         with jax.default_matmul_precision("highest"):
             x64, iters, res = self._solve_df_jit(self.coords, self._tables, f_t, rtol, maxiter)
         self.last_iters = int(iters)
         self.last_residual = float(res)
-        return np.asarray(x64).T[: p.n_nodes]
+        return self._solution_out(np.asarray(x64).T[: p.n_nodes])
 
-    def solve(self, forces, rtol: float = 1e-10, maxiter: int = 20000):
+    # ------------------------------------------------------------------
+    def _forces_in(self, forces) -> np.ndarray:
+        forces = np.asarray(forces)
+        return forces[self._order] if self._order is not None else forces
+
+    def _solution_out(self, u: np.ndarray) -> np.ndarray:
+        if self._order is None:
+            return u
+        out = np.empty_like(u)
+        out[self._order] = u
+        return out
+
+    def solve(self, forces, rtol: float = 1e-10, maxiter: int = 20000, precond: str = "jacobi"):
         p = self.pattern
         f = np.zeros((p.n_pad, 6))
-        f[: p.n_nodes] = np.asarray(forces)
+        f[: p.n_nodes] = self._forces_in(forces)
         f_t = jnp.asarray(f.T, self.dtype)
         with jax.default_matmul_precision("highest"):
-            res = self._solve_jit(self.coords, self._tables, f_t, rtol, maxiter)
+            res = self._solve_jit(self.coords, self._tables, f_t, rtol, maxiter, precond)
         self.last_cg = res
-        return np.asarray(res.x).T[: p.n_nodes]
+        return self._solution_out(np.asarray(res.x).T[: p.n_nodes])

@@ -172,6 +172,25 @@ def df_stencil_matvec(values: DF, x: DF, offsets) -> DF:
     return acc
 
 
+def df_gather_matvec(values: DF, x: DF, adj_t) -> DF:
+    """y = A x for the gather-mode SoA operator (general unstructured
+    meshes, ``adj_t [K, Npad]`` neighbor table) with A and x in df. Same
+    full-df accumulation as the stencil variant; the lane shifts become
+    lane gathers."""
+    k, npad = values.hi.shape[1], values.hi.shape[2]
+    vh = values.hi.reshape(6, 6, k, npad)
+    vl = values.lo.reshape(6, 6, k, npad)
+    xh = x.hi[:, adj_t]  # [6, K, Npad]
+    xl = x.lo[:, adj_t]
+    acc = DF(jnp.zeros((6, npad), jnp.float32), jnp.zeros((6, npad), jnp.float32))
+    for s in range(k):
+        for b in range(6):
+            p, pe = two_prod(vh[:, b, s, :], xh[b, s])
+            pe = pe + (vh[:, b, s, :] * xl[b, s] + vl[:, b, s, :] * xh[b, s])
+            acc = df_add(acc, DF(p, pe))
+    return acc
+
+
 def df_stencil_matvec_f32v(values_f32, x: DF, offsets) -> DF:
     """y = A x with A stored as PLAIN f32 values and x, y in df.
 

@@ -469,6 +469,15 @@ def soa_diagonal(values, adj_t=None, offsets=None):
     return jnp.sum(diag_abkn * first_self[None], axis=1)
 
 
+def soa_self_blocks(values, adj_t=None, offsets=None):
+    """[Npad, 6, 6] per-node diagonal (self-coupling) blocks — the
+    block-Jacobi preconditioner source (PETSc -pc_type bjacobi analog)."""
+    k, npad = values.shape[1], values.shape[2]
+    v = values.reshape(6, 6, k, npad)
+    first_self = _self_mask(adj_t, offsets, k, npad, v.dtype)
+    return jnp.einsum("abkn,kn->nab", v, first_self)
+
+
 def soa_matvec(values, x, adj_t=None, offsets=None):
     """y = A @ x with x, y of shape [6, Npad].
 

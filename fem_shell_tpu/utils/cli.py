@@ -54,6 +54,13 @@ def _parse(argv: List[str]):
         help="mg = geometric multigrid V-cycle (structured grid meshes; "
         "mesh-independent iteration counts — the best preconditioner here)",
     )
+    ap.add_argument(
+        "--reorder",
+        choices=("rcm",),
+        default=None,
+        help="bandwidth-reduce the node numbering (reverse Cuthill-McKee) "
+        "before solving — unstructured meshes get SoA-operator locality",
+    )
     ap.add_argument("--f32", action="store_true")
     ap.add_argument("--df", action="store_true")
     ap.add_argument("--devices", type=int, default=1)
@@ -115,12 +122,17 @@ def main(argv: Optional[List[str]] = None) -> int:
         else:
             u = np.asarray(system.solve(forces, rtol=args.rtol, maxiter=args.maxiter))
             iters, res = int(system.last_cg.iters), float(system.last_cg.residual)
-    elif args.df:
+    elif args.df or args.reorder:
         from fem_shell_tpu.large import LargeShellSystem
 
-        system = LargeShellSystem(mesh, material, dtype=jnp.float64)
-        u = np.asarray(system.solve_df(forces, rtol=args.rtol, maxiter=args.maxiter))
-        iters, res = system.last_iters, system.last_residual
+        system = LargeShellSystem(mesh, material, dtype=jnp.float64, reorder=args.reorder)
+        if args.df:
+            u = np.asarray(system.solve_df(forces, rtol=args.rtol, maxiter=args.maxiter))
+            iters, res = system.last_iters, system.last_residual
+        else:
+            pc = args.precond if args.precond in ("jacobi", "block_jacobi") else "block_jacobi"
+            u = np.asarray(system.solve(forces, rtol=args.rtol, maxiter=args.maxiter, precond=pc))
+            iters, res = int(system.last_cg.iters), float(system.last_cg.residual)
     else:
         system = ShellSystem(mesh, material, dtype=dtype)
         u = np.asarray(
