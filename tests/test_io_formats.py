@@ -119,3 +119,39 @@ def test_exodus_roundtrip(tmp_path):
     np.testing.assert_allclose(s["times"], [0.0, 0.5])
     np.testing.assert_allclose(s["nodal_vars"]["disp_z"], u[:, :, 2])
     np.testing.assert_allclose(s["nodal_vars"]["rot_y"], u[:, :, 4])
+
+
+# ----------------------------------------------------------------------
+# XDR binary meshes (fem-shell.cpp:45-47 accepts .xda/.xdr/.msh)
+# ----------------------------------------------------------------------
+
+
+def test_xdr_roundtrip_and_ascii_parity(tmp_path):
+    from fem_shell_tpu.mesh import read_mesh, read_xdr, write_xdr, write_xda
+    from fem_shell_tpu.meshgen import MeshGenParams, generate
+
+    p = MeshGenParams("t", 7, 5, 0, 0, 3.3, 2.1, (0, 1, -1, 2), 1.0, 0, False, "y")
+    mesh, _, _ = generate(p)
+    write_xdr(mesh, str(tmp_path / "m.xdr"))
+    m2 = read_mesh(str(tmp_path / "m.xdr"))
+    # binary roundtrip is BIT-exact (ASCII stores 6 significant digits)
+    np.testing.assert_array_equal(m2.coords, mesh.coords)
+    np.testing.assert_array_equal(m2.elem_types, mesh.elem_types)
+    np.testing.assert_array_equal(m2.elem_conn, mesh.elem_conn)
+    np.testing.assert_array_equal(m2.boundary_sides, mesh.boundary_sides)
+    # cross-format: same records as the ASCII path
+    write_xda(mesh, str(tmp_path / "m.xda"))
+    m3 = read_mesh(str(tmp_path / "m.xda"))
+    np.testing.assert_array_equal(m2.elem_conn, m3.elem_conn)
+    np.testing.assert_array_equal(m2.boundary_sides, m3.boundary_sides)
+    np.testing.assert_allclose(m2.coords, m3.coords, rtol=1e-5)
+
+
+def test_xdr_rejects_garbage(tmp_path):
+    import pytest as _pytest
+
+    from fem_shell_tpu.mesh import read_xdr
+
+    (tmp_path / "bad.xdr").write_bytes(b"\x00\x00\x00\x04nope")
+    with _pytest.raises(ValueError):
+        read_xdr(str(tmp_path / "bad.xdr"))
