@@ -163,25 +163,10 @@ class LargeShellSystem:
         if getattr(self, "_strip_key", None) == key:
             return self._strip_cache
         p = self.pattern
-        tri_plan = build_strip_plan(p, self.mesh.tri, p.tri_slot, strip_nodes, chunk)
-        quad_plan = build_strip_plan(p, self.mesh.quad, p.quad_slot, strip_nodes, chunk)
-
-        def dev(plan):
-            if plan is None:
-                return None
-            return (
-                jnp.asarray(plan.conn),
-                jnp.asarray(plan.slot),
-                jnp.asarray(plan.weight),
-                jnp.asarray(plan.starts),
-            )
-
         dm64, dp64 = self.material.matrices()
         self._strip_cache = {
-            "tri_plan": tri_plan,
-            "quad_plan": quad_plan,
-            "tri_arrays": dev(tri_plan),
-            "quad_arrays": dev(quad_plan),
+            "tri_plan": build_strip_plan(p, self.mesh.tri, p.tri_slot, strip_nodes, chunk),
+            "quad_plan": build_strip_plan(p, self.mesh.quad, p.quad_slot, strip_nodes, chunk),
             "coords64": jnp.asarray(self.mesh.coords, jnp.float64),
             "dm64": jnp.asarray(dm64, jnp.float64),
             "dp64": jnp.asarray(dp64, jnp.float64),
@@ -190,48 +175,33 @@ class LargeShellSystem:
         return self._strip_cache
 
     def assemble_df(self, strip_nodes: int = 65536, chunk: int = 8192):
-        """BC-constrained df operator values (hi, lo), each [36, K, Npad]
-        f32; entrywise accurate to ~eps64. Requires jax_enable_x64 (the
-        strip kernels run in emulated f64; one strip at a time)."""
+        """BC-constrained df operator values (hi, lo), each FLAT
+        [36K, Npad] f32 (see ops/soa.py:assemble_soa_df for the layout
+        and memory rationale); entrywise accurate to ~eps64. Requires
+        jax_enable_x64 (the strip kernels run in emulated f64, one strip
+        at a time; the carry updates in place via buffer donation)."""
         from fem_shell_tpu.ops.df import DF
-        from fem_shell_tpu.ops.soa import apply_bc_soa_df, assemble_soa_df
+        from fem_shell_tpu.ops.soa import assemble_soa_df
 
         c = self._strip_inputs(strip_nodes, chunk)
-        if getattr(self, "_assemble_df_key", None) != (strip_nodes, chunk):
-            self._assemble_df_key = (strip_nodes, chunk)
-
-            def impl(coords64, tri_arrays, quad_arrays, dm64, dp64, free32):
-                hi, lo = assemble_soa_df(
-                    self.pattern,
-                    coords64,
-                    c["tri_plan"],
-                    c["quad_plan"],
-                    tri_arrays,
-                    quad_arrays,
-                    dm64,
-                    dp64,
-                    self.thickness,
-                )
-                hi, lo = apply_bc_soa_df(
-                    hi, lo, free32, adj_t=self._tables["adj_t"], offsets=self.offsets
-                )
-                return hi, lo
-
-            self._assemble_df_jit = jax.jit(impl)
         free32 = self.free_t.astype(jnp.float32)
         with jax.default_matmul_precision("highest"):
-            hi, lo = self._assemble_df_jit(
-                c["coords64"], c["tri_arrays"], c["quad_arrays"], c["dm64"], c["dp64"], free32
+            hi, lo = assemble_soa_df(
+                self.pattern,
+                c["coords64"],
+                c["tri_plan"],
+                c["quad_plan"],
+                c["dm64"],
+                c["dp64"],
+                self.thickness,
+                free32,
             )
         return DF(hi, lo)
 
     def free_strip_cache(self):
-        """Drop the (large, assembly-only) strip tables from device memory."""
+        """Drop the (assembly-only) strip plans/coords."""
         self._strip_cache = None
         self._strip_key = None
-        self._assemble_df_key = None
-        if hasattr(self, "_assemble_df_jit"):
-            del self._assemble_df_jit
 
     # ------------------------------------------------------------------
     # double-float solve: f64 assembly (one-time) -> df operator/vectors ->

@@ -452,7 +452,8 @@ class MultigridShellSystem:
 
 def _densify(lvl: _Level) -> jnp.ndarray:
     """Dense matrix over the REAL nodes of a (small) stencil level
-    (padded rows are decoupled identity and stay out of the dense solve)."""
+    (padded rows are decoupled identity and stay out of the dense solve).
+    Accepts [36, K, Npad] or flat [36K, Npad] values."""
     n = lvl.nyp * lvl.nxp
     k = len(lvl.offsets)
     v = lvl.values.reshape(6, 6, k, lvl.npad)[:, :, :, :n]

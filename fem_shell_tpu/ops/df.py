@@ -148,6 +148,18 @@ def df_dot_f64(x: DF, y: DF):
 # ----------------------------------------------------------------------
 
 
+def _rows(v, k: int):
+    """Slot-row accessor for operator values: accepts the FLAT [36K, N]
+    layout (production: no 36-sublane tile padding) or legacy [36, K, N];
+    returns rows(a, b, s) -> [6?, N]. For flat input this is pure row
+    indexing — no reshape, so the argument keeps its efficient 2D
+    layout."""
+    if v.ndim == 2:
+        return lambda a, b, s: v[(a * 6 + b) * k + s]
+    v4 = v.reshape(6, 6, k, v.shape[2])
+    return lambda a, b, s: v4[a, b, s]
+
+
 def df_stencil_matvec(values: DF, x: DF, offsets) -> DF:
     """y = A x for the stencil SoA operator with A and x in df.
 
@@ -157,17 +169,20 @@ def df_stencil_matvec(values: DF, x: DF, offsets) -> DF:
     O(eps32^2 * sum|terms|) error gets multiplied by the bending
     operator's term-cancellation ratio ~ kappa.)
     """
-    k, npad = values.hi.shape[1], values.hi.shape[2]
-    vh = values.hi.reshape(6, 6, k, npad)
-    vl = values.lo.reshape(6, 6, k, npad)
+    k = len(offsets)
+    npad = values.hi.shape[-1]
+    vh = _rows(values.hi, k)
+    vl = _rows(values.lo, k)
     acc = DF(jnp.zeros((6, npad), jnp.float32), jnp.zeros((6, npad), jnp.float32))
     for s, off in enumerate(offsets):
         o = int(off)
         xh = jnp.roll(x.hi, -o, axis=1)
         xl = jnp.roll(x.lo, -o, axis=1)
         for b in range(6):
-            p, pe = two_prod(vh[:, b, s, :], xh[b])
-            pe = pe + (vh[:, b, s, :] * xl[b] + vl[:, b, s, :] * xh[b])
+            vhb = jnp.stack([vh(a, b, s) for a in range(6)])
+            vlb = jnp.stack([vl(a, b, s) for a in range(6)])
+            p, pe = two_prod(vhb, xh[b])
+            pe = pe + (vhb * xl[b] + vlb * xh[b])
             acc = df_add(acc, DF(p, pe))
     return acc
 
@@ -177,16 +192,19 @@ def df_gather_matvec(values: DF, x: DF, adj_t) -> DF:
     meshes, ``adj_t [K, Npad]`` neighbor table) with A and x in df. Same
     full-df accumulation as the stencil variant; the lane shifts become
     lane gathers."""
-    k, npad = values.hi.shape[1], values.hi.shape[2]
-    vh = values.hi.reshape(6, 6, k, npad)
-    vl = values.lo.reshape(6, 6, k, npad)
+    k = adj_t.shape[0]
+    npad = values.hi.shape[-1]
+    vh = _rows(values.hi, k)
+    vl = _rows(values.lo, k)
     xh = x.hi[:, adj_t]  # [6, K, Npad]
     xl = x.lo[:, adj_t]
     acc = DF(jnp.zeros((6, npad), jnp.float32), jnp.zeros((6, npad), jnp.float32))
     for s in range(k):
         for b in range(6):
-            p, pe = two_prod(vh[:, b, s, :], xh[b, s])
-            pe = pe + (vh[:, b, s, :] * xl[b, s] + vl[:, b, s, :] * xh[b, s])
+            vhb = jnp.stack([vh(a, b, s) for a in range(6)])
+            vlb = jnp.stack([vl(a, b, s) for a in range(6)])
+            p, pe = two_prod(vhb, xh[b, s])
+            pe = pe + (vhb * xl[b, s] + vlb * xh[b, s])
             acc = df_add(acc, DF(p, pe))
     return acc
 
@@ -198,17 +216,18 @@ def df_stencil_matvec_f32v(values_f32, x: DF, offsets) -> DF:
     accumulation — the operator values define the system being solved, so
     when the system was assembled directly in f32 (exact-geometry centered
     kernels, ops/soa.py:_centered_xyz) there is no lo part to carry.
-    Halves operator HBM and drops the vl product vs df_stencil_matvec;
-    this is the multi-million-element production matvec."""
-    k, npad = values_f32.shape[1], values_f32.shape[2]
-    v = values_f32.reshape(6, 6, k, npad)
+    Halves operator HBM and drops the vl product vs df_stencil_matvec."""
+    k = len(offsets)
+    npad = values_f32.shape[-1]
+    v = _rows(values_f32, k)
     acc = DF(jnp.zeros((6, npad), jnp.float32), jnp.zeros((6, npad), jnp.float32))
     for s, off in enumerate(offsets):
         o = int(off)
         xh = jnp.roll(x.hi, -o, axis=1)
         xl = jnp.roll(x.lo, -o, axis=1)
         for b in range(6):
-            p, pe = two_prod(v[:, b, s, :], xh[b])
-            pe = pe + v[:, b, s, :] * xl[b]
+            vb = jnp.stack([v(a, b, s) for a in range(6)])
+            p, pe = two_prod(vb, xh[b])
+            pe = pe + vb * xl[b]
             acc = df_add(acc, DF(p, pe))
     return acc

@@ -284,7 +284,9 @@ def build_strip_plan(
     An element writes only rows equal to its own node ids, so all its
     writes land in [min_node, min_node + band]; with W = strip + band each
     bucket's scatter fits the local buffer. Buckets are padded (weight 0,
-    slot 0) to a uniform [n_sub, chunk] shape for lax.scan."""
+    slot 0) to a uniform [n_sub, chunk] shape. The LAST strip's start is
+    clamped so the carry never extends past n_pad (local indices stay
+    valid because its elements' min nodes are >= the unclamped start)."""
     e = len(conn_np)
     if e == 0:
         return None
@@ -294,7 +296,7 @@ def build_strip_plan(
     emin = conn_np.min(axis=1)
     band = int((conn_np.max(axis=1) - emin).max())
     s = int(strip_nodes)
-    w = s + band
+    w = min(s + band, npad)
     bucket = emin // s
     n_b = int(bucket.max()) + 1
     counts = np.bincount(bucket, minlength=n_b)
@@ -306,7 +308,7 @@ def build_strip_plan(
     slot_out = np.zeros((n_b, eb, m, m), np.int32)
     w_out = np.zeros((n_b, eb), np.float32)
     order = np.argsort(bucket, kind="stable")
-    starts_np = (np.arange(n_b, dtype=np.int64) * s).astype(np.int32)
+    starts_np = np.minimum(np.arange(n_b, dtype=np.int64) * s, npad - w).astype(np.int32)
     pos = 0
     slot_s = slot_np // npad  # slot index
     slot_n = slot_np % npad  # row node
@@ -320,27 +322,32 @@ def build_strip_plan(
         w_out[b, :c] = 1.0
         if c < eb:  # padding rows reuse element 0 of the family (weight 0)
             conn_out[b, c:] = conn_np[0]
-    carry_w = max(npad, int(starts_np[-1]) + w)
     return StripPlan(
         conn=conn_out.reshape(n_b, n_sub, chunk, m),
         slot=slot_out.reshape(n_b, n_sub, chunk, m, m),
         weight=w_out.reshape(n_b, n_sub, chunk),
         starts=starts_np,
         width=w,
-        carry_width=carry_w,
+        carry_width=npad,
     )
 
 
-def _strip_scan(hi, lo, coords64, plan_arrays, width, k, kernel, dm, dp, thickness):
-    """Scan one family's strip buckets into the df carry (hi, lo)."""
-    from fem_shell_tpu.ops.df import two_sum
+def _make_strip_step(k: int, width: int, chunk: int, m: int, kernel, thickness, offsets, halo: int):
+    """One donated-in-place strip update of the FLAT df carry [36K, Npad].
 
-    conn_b, slot_b, w_b, starts = plan_arrays
-    chunk, m = conn_b.shape[2], conn_b.shape[3]
+    Python-driven (one jitted call per strip) rather than lax.scan:
+    buffer DONATION guarantees the multi-GB df carry updates in place —
+    inside a while-loop XLA kept a second copy of the carry alive, which
+    OOMed at 4.2M nodes — and the per-strip graph compiles once per
+    family instead of one giant scan graph. The flat [36K, Npad] layout
+    avoids (8,128) tile padding of a 36-sublane axis (1.11x = ~1.2 GB on
+    a 4.2M-node df pair). BC row/col masks are applied per strip (masks
+    are idempotent 0/1 multipliers, so band-overlap regions masked twice
+    stay correct); the constrained-diagonal 1s are added afterwards by
+    add_unit_diagonal_df."""
 
-    def step(carry, xs):
-        hi, lo = carry
-        conn_s, slot_s, w_s, start = xs
+    def step(hi, lo, coords64, dm, dp, free_pad, conn_s, slot_s, w_s, start):
+        from fem_shell_tpu.ops.df import two_sum
 
         def sub(local, sub_xs):
             cc, sc, wc = sub_xs
@@ -351,22 +358,48 @@ def _strip_scan(hi, lo, coords64, plan_arrays, width, k, kernel, dm, dp, thickne
 
         local = jnp.zeros((36, k * width), jnp.float64)
         local, _ = jax.lax.scan(sub, local, (conn_s, slot_s, w_s))
-        local = local.reshape(36, k, width)
+        local = local.reshape(36 * k, width)
         seg_hi = local.astype(jnp.float32)
         seg_lo = (local - seg_hi.astype(jnp.float64)).astype(jnp.float32)
 
         z = jnp.zeros((), start.dtype)
-        cur_hi = jax.lax.dynamic_slice(hi, (z, z, start), (36, k, width))
-        cur_lo = jax.lax.dynamic_slice(lo, (z, z, start), (36, k, width))
+        # free_pad is [6, halo + Npad + halo]; windowed row/col masks
+        row_free = jax.lax.dynamic_slice(free_pad, (z, start + halo), (6, width))
+        col_free = [
+            jax.lax.dynamic_slice(free_pad, (z, start + halo + int(offsets[s])), (6, width))
+            for s in range(k)
+        ]
+        mask = jnp.stack(
+            [
+                row_free[a] * col_free[s][b]
+                for a in range(6)
+                for b in range(6)
+                for s in range(k)
+            ]
+        )  # [36K, width]
+        seg_hi = seg_hi * mask
+        seg_lo = seg_lo * mask
+
+        cur_hi = jax.lax.dynamic_slice(hi, (z, start), (36 * k, width))
+        cur_lo = jax.lax.dynamic_slice(lo, (z, start), (36 * k, width))
         s_, e_ = two_sum(cur_hi, seg_hi)
         e_ = e_ + (cur_lo + seg_lo)
         n_hi, n_lo = two_sum(s_, e_)
-        hi = jax.lax.dynamic_update_slice(hi, n_hi, (z, z, start))
-        lo = jax.lax.dynamic_update_slice(lo, n_lo, (z, z, start))
-        return (hi, lo), None
+        hi = jax.lax.dynamic_update_slice(hi, n_hi, (z, start))
+        lo = jax.lax.dynamic_update_slice(lo, n_lo, (z, start))
+        return hi, lo
 
-    (hi, lo), _ = jax.lax.scan(step, (hi, lo), (conn_b, slot_b, w_b, starts))
-    return hi, lo
+    return jax.jit(step, donate_argnums=(0, 1))
+
+
+def add_unit_diagonal_df(hi, free_t32, offsets, k):
+    """Set the constrained DOFs' diagonal to exactly 1 (hi only; their lo
+    is exactly zero after masking). hi is flat [36K, Npad]; donated."""
+    k0 = int(np.searchsorted(np.asarray(offsets), 0))
+    constrained = 1.0 - free_t32  # [6, Npad]
+    for a in range(6):
+        hi = hi.at[(a * 6 + a) * k + k0, :].add(constrained[a])
+    return hi
 
 
 def assemble_soa_df(
@@ -374,56 +407,53 @@ def assemble_soa_df(
     coords64,
     tri_plan: Optional[StripPlan],
     quad_plan: Optional[StripPlan],
-    tri_arrays,
-    quad_arrays,
     dm64,
     dp64,
     thickness,
+    free_t32,
 ):
-    """Strip-assembled df operator values (hi, lo) of shape [36, K, Npad].
+    """Strip-assembled, BC-constrained df operator values (hi, lo), each
+    FLAT [36*K, Npad] f32 (row = (6a+b)*K + s).
 
-    ``*_plan`` carry static strip metadata; ``*_arrays`` the corresponding
-    device arrays (conn, slot, weight, starts) passed as jit ARGUMENTS
-    (big tables must not become HLO constants — remote-compile size limit,
-    see LargeShellSystem). Entrywise accuracy ~eps64: kernels run in
-    emulated f64, strip conversion to two-f32 is exact rounding, cross-
-    strip overlap (the band region) folds in with two_sum renormalization.
-    """
+    Entrywise accuracy ~eps64: kernels run in emulated f64 one strip at a
+    time, strip conversion to two-f32 is exact rounding, cross-strip
+    overlap (the band region) folds in with two_sum renormalization.
+    Peak device memory = the df pair + ONE strip's f64 buffer + one
+    strip's element tables (uploaded per call; they never persist).
+    Stencil mode only (offsets required for the windowed column masks)."""
     from fem_shell_tpu.ops.elements import batched_quad_stiffness, batched_tri_stiffness
 
+    if pattern.offsets is None:
+        raise NotImplementedError("strip-df assembly requires stencil mode")
     npad, k = pattern.n_pad, pattern.k
-    carry_w = max(
-        tri_plan.carry_width if tri_plan else 0,
-        quad_plan.carry_width if quad_plan else 0,
-        npad,
+    offsets = [int(o) for o in pattern.offsets]
+    halo = max(abs(offsets[0]), abs(offsets[-1]))
+    free_pad = jnp.pad(free_t32.astype(jnp.float32), ((0, 0), (halo, halo)))
+
+    hi = jnp.zeros((36 * k, npad), jnp.float32)
+    lo = jnp.zeros((36 * k, npad), jnp.float32)
+    for plan, kernel in ((tri_plan, batched_tri_stiffness), (quad_plan, batched_quad_stiffness)):
+        if plan is None:
+            continue
+        chunk, m = plan.conn.shape[2], plan.conn.shape[3]
+        step = _make_strip_step(k, plan.width, chunk, m, kernel, thickness, offsets, halo)
+        for b in range(plan.conn.shape[0]):
+            hi, lo = step(
+                hi,
+                lo,
+                coords64,
+                dm64,
+                dp64,
+                free_pad,
+                jnp.asarray(plan.conn[b]),
+                jnp.asarray(plan.slot[b]),
+                jnp.asarray(plan.weight[b]),
+                jnp.asarray(plan.starts[b]),
+            )
+    hi = jax.jit(add_unit_diagonal_df, static_argnums=(2, 3), donate_argnums=0)(
+        hi, free_t32.astype(jnp.float32), tuple(offsets), k
     )
-    hi = jnp.zeros((36, k, carry_w), jnp.float32)
-    lo = jnp.zeros((36, k, carry_w), jnp.float32)
-    if tri_plan is not None:
-        hi, lo = _strip_scan(
-            hi, lo, coords64, tri_arrays, tri_plan.width, k, batched_tri_stiffness, dm64, dp64, thickness
-        )
-    if quad_plan is not None:
-        hi, lo = _strip_scan(
-            hi, lo, coords64, quad_arrays, quad_plan.width, k, batched_quad_stiffness, dm64, dp64, thickness
-        )
-    return hi[:, :, :npad], lo[:, :, :npad]
-
-
-def apply_bc_soa_df(values_hi, values_lo, free_t32, adj_t=None, offsets=None):
-    """BC masking of a df operator: multiplying by the 0/1 free masks is
-    exact on hi and lo separately; the unit diagonal goes into hi only
-    (the masked hi there is exactly zero)."""
-    k, npad = values_hi.shape[1], values_hi.shape[2]
-    col_free = _col_values(free_t32, adj_t, offsets, k)  # [6, K, Npad]
-    mask = free_t32[:, None, None, :] * col_free[None, :, :, :]
-    vh = values_hi.reshape(6, 6, k, npad) * mask
-    vl = values_lo.reshape(6, 6, k, npad) * mask
-    first_self = _self_mask(adj_t, offsets, k, npad, vh.dtype)
-    eye = jnp.eye(6, dtype=vh.dtype)
-    constrained = 1.0 - free_t32
-    vh = vh + eye[:, :, None, None] * constrained[None, :, None, :] * first_self[None, None]
-    return vh.reshape(36, k, npad), vl.reshape(36, k, npad)
+    return hi, lo
 
 
 def _col_values(x, adj_t, offsets, k):
@@ -461,21 +491,38 @@ def apply_bc_soa(values, free_t, adj_t=None, offsets=None):
 
 
 def soa_diagonal(values, adj_t=None, offsets=None):
-    """[6, Npad] diagonal of the SoA operator."""
-    k, npad = values.shape[1], values.shape[2]
-    v = values.reshape(6, 6, k, npad)
-    first_self = _self_mask(adj_t, offsets, k, npad, v.dtype)
-    diag_abkn = jnp.einsum("aakn->akn", v)
-    return jnp.sum(diag_abkn * first_self[None], axis=1)
+    """[6, Npad] diagonal of the SoA operator (either values layout)."""
+    rows, k, npad = _slot_rows(values, adj_t, offsets)
+    first_self = _self_mask(adj_t, offsets, k, npad, values.dtype)
+    return jnp.stack(
+        [sum(rows(a, a, s) * first_self[s] for s in range(k)) for a in range(6)]
+    )
+
+
+def _slot_rows(values, adj_t, offsets):
+    """(accessor, k, npad) for operator values in either layout: FLAT
+    [36K, N] (production df path — indexing keeps the efficient 2D
+    argument layout, no reshape) or [36, K, N]."""
+    k = len(offsets) if offsets is not None else adj_t.shape[0]
+    npad = values.shape[-1]
+    if values.ndim == 2:
+        return (lambda a, b, s: values[(a * 6 + b) * k + s]), k, npad
+    v4 = values.reshape(6, 6, k, npad)
+    return (lambda a, b, s: v4[a, b, s]), k, npad
 
 
 def soa_self_blocks(values, adj_t=None, offsets=None):
     """[Npad, 6, 6] per-node diagonal (self-coupling) blocks — the
     block-Jacobi preconditioner source (PETSc -pc_type bjacobi analog)."""
-    k, npad = values.shape[1], values.shape[2]
-    v = values.reshape(6, 6, k, npad)
-    first_self = _self_mask(adj_t, offsets, k, npad, v.dtype)
-    return jnp.einsum("abkn,kn->nab", v, first_self)
+    rows, k, npad = _slot_rows(values, adj_t, offsets)
+    first_self = _self_mask(adj_t, offsets, k, npad, values.dtype)
+    blocks = jnp.stack(
+        [
+            jnp.stack([sum(rows(a, b, s) * first_self[s] for s in range(k)) for b in range(6)])
+            for a in range(6)
+        ]
+    )  # [6, 6, Npad]
+    return jnp.transpose(blocks, (2, 0, 1))
 
 
 def soa_matvec(values, x, adj_t=None, offsets=None):
@@ -483,14 +530,19 @@ def soa_matvec(values, x, adj_t=None, offsets=None):
 
     Stencil mode is gather-free: each slot contributes a lane-shifted
     multiply-add; wrapped lanes multiply identically-zero blocks.
-    """
-    k, npad = values.shape[1], values.shape[2]
-    v = values.reshape(6, 6, k, npad)
+    Values may be [36, K, Npad] or flat [36K, Npad]."""
+    rows, k, npad = _slot_rows(values, adj_t, offsets)
+    y = jnp.zeros_like(x)
     if offsets is not None:
-        y = jnp.zeros_like(x)
         for s, o in enumerate(offsets):
             xs = jnp.roll(x, -int(o), axis=1)  # [6, Npad]
-            y = y + jnp.einsum("abn,bn->an", v[:, :, s, :], xs)
+            for b in range(6):
+                vb = jnp.stack([rows(a, b, s) for a in range(6)])
+                y = y + vb * xs[b]
         return y
     xg = x[:, adj_t]  # [6, K, Npad] — K lane-gathers
-    return jnp.einsum("abkn,bkn->an", v, xg)
+    for s in range(k):
+        for b in range(6):
+            vb = jnp.stack([rows(a, b, s) for a in range(6)])
+            y = y + vb * xg[b, s]
+    return y

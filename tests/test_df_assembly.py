@@ -30,6 +30,7 @@ def test_assemble_df_matches_f64(et, n, strip):
     v64 = np.asarray(s.assemble())
     pair = s.assemble_df(strip_nodes=strip, chunk=32)
     v_df = np.asarray(pair.hi.astype(jnp.float64) + pair.lo.astype(jnp.float64))
+    v_df = v_df.reshape(v64.shape)  # pair is stored flat [36K, Npad]
     scale = np.abs(v64).max()
     assert np.abs(v_df - v64).max() < 1e-13 * scale
 
