@@ -2,18 +2,23 @@
 
 Workload (BASELINE.md): 64x64 simply-supported square plate, uniform load
 q=300, E=1e7, nu=0.3, t=0.5 -> Quad-4: 4096 elements / 4225 nodes /
-25,350 DOF. The reference's overall time (assembly + PETSc solve, 1
-process, avg of 5) is 34.83 s (doc/validation.tex:534-537).
+25,350 DOF (Tri-3 variant: 8192 elements). The reference's overall time
+(assembly + PETSc solve, 1 process, avg of 5) is 34.83 s for Quad-4 and
+52.52 s for Tri-3 (doc/validation.tex:523-539).
 
-We time the same thing: full assembly + Jacobi-PCG solve to rtol 1e-10 in
-f64 (f64 is software-emulated on TPU — kept anyway for exact golden
-parity; see fem_shell_tpu/system.py for the precision rationale), steady
-state (post-compile), average of 5, and verify the center deflection
-against the golden value 0.106465 before reporting.
+We time the same thing with the production configuration: strip-df
+operator assembly (two-float32 pair, ~eps64 entrywise; ops/soa.py) +
+geometric-multigrid-preconditioned double-float CG (mg.py). Every timed
+rep includes a FULL reassembly of all grid levels plus the solve, so
+"overall" covers the same work as the reference's assembly+solver
+timers. The center deflection is verified against the golden value
+before reporting. Falls back to the Jacobi double-float path, then to
+emulated f64, if the preferred path fails on this device/toolchain.
 
 Prints ONE JSON line:
   {"metric": "testG_quad_overall_s", "value": <s>, "unit": "s",
    "vs_baseline": <speedup factor>}
+(the Tri-3 line is reported on stderr).
 """
 import json
 import os
@@ -33,72 +38,104 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from fem_shell_tpu.large import LargeShellSystem
 from fem_shell_tpu.materials import Material
 from fem_shell_tpu.meshgen import MeshGenParams, generate
 
-BASELINE_OVERALL_S = 34.83  # doc/validation.tex:534-537, Quad-4 1 proc
-GOLDEN_CENTER_W = 0.106465  # doc/validation.tex:518
-RTOL = 1e-10
+BASELINES = {"q": 34.83, "t": 52.52}  # doc/validation.tex:523-539, 1 proc
+GOLDEN = {"q": 0.106465, "t": 0.106413}  # doc/validation.tex:518
+RTOL = 1e-9
 REPS = 5
+MAT = Material(nu=0.3, em=1e7, thickness=0.5)
 
 
-def main():
-    p = MeshGenParams("q", 64, 64, 0, 0, 10, 10, (0, 0, 0, 0), 300.0, 2, True, "z")
+def bench_case(et: str):
+    """(mean overall seconds, center_w, iters, residual) for one element
+    type, MG-df preferred; returns the solver label actually used."""
+    p = MeshGenParams(et, 64, 64, 0, 0, 10, 10, (0, 0, 0, 0), 300.0, 2, et == "q", "z")
     mesh, rows, fac = generate(p)
     forces = rows * fac
-    # stencil-mode SoA operator (ops/soa.py): TPU-tiled layouts, gather-free
-    # SpMV; produces solutions identical to the reference AoS path
-    system = LargeShellSystem(
-        mesh, Material(nu=0.3, em=1e7, thickness=0.5), dtype=jnp.float64, chunk=4096
-    )
+    center = mesh.n_nodes // 2
 
-    # double-float solve: f64-class accuracy from VPU-native two-f32
-    # arithmetic (ops/df.py) — TPU f64 is emulated and ~2x slower. Falls
-    # back to the emulated-f64 solver if the df path fails on this
-    # device/toolchain (still ~37x the reference baseline).
-    def do_solve(f):
-        return system.solve_df(f, rtol=RTOL, maxiter=20000)
+    def run_mg():
+        from fem_shell_tpu.mg import MultigridShellSystem
 
-    try:
-        u = do_solve(forces)  # warm-up (compile); synchronized numpy out
-    except Exception as e:  # pragma: no cover - device-specific fallback
-        print(f"# df solve unavailable ({type(e).__name__}); f64 fallback", file=sys.stderr)
+        mg = MultigridShellSystem(p, MAT, dtype=jnp.float32, df_operator=True)
+        mg.solve_df(forces, rtol=RTOL, maxiter=400)  # warm-up/compile
 
-        def do_solve(f):
-            u = system.solve(f, rtol=RTOL, maxiter=20000)
+        def rep():
+            mg.reassemble()
+            return mg.solve_df(forces, rtol=RTOL, maxiter=400)
+
+        return rep, mg
+
+    def run_jacobi_df():
+        from fem_shell_tpu.large import LargeShellSystem
+
+        system = LargeShellSystem(mesh, MAT, dtype=jnp.float64, chunk=4096)
+
+        def rep():
+            return system.solve_df(forces, rtol=1e-10, maxiter=20000)
+
+        rep()
+        return rep, system
+
+    def run_f64():
+        from fem_shell_tpu.large import LargeShellSystem
+
+        system = LargeShellSystem(mesh, MAT, dtype=jnp.float64, chunk=4096)
+
+        def rep():
+            u = system.solve(forces, rtol=1e-10, maxiter=20000)
             system.last_iters = int(system.last_cg.iters)
             system.last_residual = float(system.last_cg.residual)
             return u
 
-        u = do_solve(forces)
-    center = mesh.n_nodes // 2
-    w = float(u[center, 2])
-    err = abs(w - GOLDEN_CENTER_W) / GOLDEN_CENTER_W
+        rep()
+        return rep, system
+
+    for label, factory in (("mg-df", run_mg), ("jacobi-df", run_jacobi_df), ("f64", run_f64)):
+        try:
+            rep, holder = factory()
+            u = rep()
+            w = float(u[center, 2])
+            err = abs(w - GOLDEN[et]) / GOLDEN[et]
+            if err >= 1e-4:
+                print(f"# {et}/{label}: center w {w} fails golden ({err:.1e})", file=sys.stderr)
+                continue
+            times = []
+            for _ in range(REPS):
+                t0 = time.perf_counter()
+                u = rep()
+                times.append(time.perf_counter() - t0)
+            print(
+                f"# {et}/{label}: times={[f'{x:.3f}' for x in times]} "
+                f"iters={holder.last_iters} residual={holder.last_residual:.2e} "
+                f"center_w={w:.6f} golden_err={err:.2e}",
+                file=sys.stderr,
+            )
+            return float(np.mean(times)), label
+        except Exception as e:  # pragma: no cover - device-specific fallback
+            print(f"# {et}/{label} unavailable ({type(e).__name__}: {e})", file=sys.stderr)
+    raise RuntimeError(f"no solver path produced a golden-accurate Test-G ({et})")
+
+
+def main():
+    print(f"# device={jax.devices()[0]}", file=sys.stderr)
+    t_tri, label_tri = bench_case("t")
     print(
-        f"# device={jax.devices()[0]} iters={system.last_iters} "
-        f"residual={system.last_residual:.2e} center_w={w:.6f} "
-        f"golden_err={err:.2e}",
+        f"# tri-3 overall: {t_tri:.4f} s via {label_tri} "
+        f"(vs baseline {BASELINES['t']} s -> {BASELINES['t'] / t_tri:.1f}x)",
         file=sys.stderr,
     )
-    assert err < 1e-4, f"center deflection {w} does not match golden {GOLDEN_CENTER_W}"
-
-    times = []
-    for _ in range(REPS):
-        t0 = time.perf_counter()
-        u = do_solve(forces)
-        times.append(time.perf_counter() - t0)
-    t = float(np.mean(times))
-    print(
-        f"# times={[f'{x:.3f}' for x in times]}", file=sys.stderr
-    )
+    t_quad, label_quad = bench_case("q")
+    print(f"# quad-4 overall: {t_quad:.4f} s via {label_quad}", file=sys.stderr)
     print(
         json.dumps(
             {
                 "metric": "testG_quad_overall_s",
-                "value": round(t, 4),
+                "value": round(t_quad, 4),
                 "unit": "s",
-                "vs_baseline": round(BASELINE_OVERALL_S / t, 2),
+                "vs_baseline": round(BASELINES["q"] / t_quad, 2),
             }
         )
     )

@@ -249,6 +249,7 @@ class MultigridShellSystem:
         mask_g = mesh.dirichlet_mask().reshape(grid.nyp, grid.nxp, 6)
 
         self.levels: List[_Level] = []
+        self._systems: List = []  # per-level assemblers, kept for reassemble()
         for l in range(n_levels):
             f = 2**l
             if (grid.nxp - 1) % f or (grid.nyp - 1) % f:
@@ -272,12 +273,12 @@ class MultigridShellSystem:
                 raise ValueError("multigrid requires stencil-addressable grids")
             if df_operator:
                 pair = sys_l.assemble_df(strip_nodes=strip_nodes, chunk=min(chunk, 8192))
-                sys_l.free_strip_cache()
                 if l == 0:
                     self._fine_df = pair  # outer df CG operator
                 values = pair.hi  # V-cycle smoothing shares the hi part
             else:
                 values = sys_l.assemble()
+            self._systems.append(sys_l)
             diag = soa_diagonal(values, offsets=sys_l.offsets)
             lvl = _Level(
                 values=values,
@@ -291,6 +292,8 @@ class MultigridShellSystem:
             self.levels.append(lvl)
         self._fine_mesh = mesh
         self._fine = self.levels[0]
+        self._df_strip_nodes = strip_nodes
+        self._df_chunk = min(chunk, 8192)
 
         # coarsest: dense inverse, computed on host (TPU lacks LU support)
         c = self.levels[-1]
@@ -299,6 +302,35 @@ class MultigridShellSystem:
         self.levels[-1] = dataclasses.replace(c, dense_inv=jnp.asarray(inv, dtype))
 
         self._solve_jit = jax.jit(self._solve_impl, static_argnums=(2, 3))
+
+    # ------------------------------------------------------------------
+    def reassemble(self):
+        """Re-run every level's operator assembly (steady-state: all jits
+        and strip plans are cached). Benchmarks use this so 'overall time'
+        covers assembly + solve like the reference's Test-G timing
+        (doc/validation.tex:500-537); coupled drivers would use it when
+        geometry changes."""
+        for l, sys_l in enumerate(self._systems):
+            if self.df_operator:
+                pair = sys_l.assemble_df(strip_nodes=self._df_strip_nodes, chunk=self._df_chunk)
+                if l == 0:
+                    self._fine_df = pair
+                values = pair.hi
+            else:
+                values = sys_l.assemble()
+            diag = soa_diagonal(values, offsets=sys_l.offsets)
+            self.levels[l] = dataclasses.replace(
+                self.levels[l],
+                values=values,
+                inv_diag=jnp.where(diag != 0, 1.0 / diag, 1.0),
+            )
+        c = self.levels[-1]
+        dense = np.asarray(_densify(c), np.float64)
+        inv = np.linalg.inv(dense).astype(np.float64 if self.dtype == jnp.float64 else np.float32)
+        self.levels[-1] = dataclasses.replace(c, dense_inv=jnp.asarray(inv, self.dtype))
+        self._fine = self.levels[0]
+        if hasattr(self, "_levels32"):
+            del self._levels32  # stale f32 copies of the old values
 
     # ------------------------------------------------------------------
     def _smooth(self, lvl: _Level, x, b, sweeps):

@@ -131,10 +131,10 @@ def test_e_tri_shell_ibeam():
 F_DOMAIN = (0, 0, 10, 2)
 F_GOLDEN = {
     # (bcid, loading): {n: center_w * 1e-6}
-    (0, 2): {2: 14.4005, 4: 12.6269, 8: 12.8565, 16: 12.9431, 32: 12.9640},
-    (1, 2): {2: 3.82366, 4: 2.45355, 8: 2.60137, 16: 2.60384, 32: 2.60414},
-    (0, 1): {2: 11.5204, 4: 17.3048, 8: 18.1158, 16: 17.4961, 32: 17.1495},
-    (1, 1): {2: 3.05893, 4: 6.06564, 8: 7.78902, 16: 7.66573, 32: 7.40552},
+    (0, 2): {2: 14.4005, 4: 12.6269, 8: 12.8565, 16: 12.9431, 32: 12.9640, 64: 12.9691},
+    (1, 2): {2: 3.82366, 4: 2.45355, 8: 2.60137, 16: 2.60384, 32: 2.60414, 64: 2.60420},
+    (0, 1): {2: 11.5204, 4: 17.3048, 8: 18.1158, 16: 17.4961, 32: 17.1495, 64: 17.0215},
+    (1, 1): {2: 3.05893, 4: 6.06564, 8: 7.78902, 16: 7.66573, 32: 7.40552, 64: 7.29681},
 }
 
 
@@ -151,16 +151,18 @@ def test_f_convergence(bcid, loading, n):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize(
-    "bcid,loading,golden",
-    [(0, 2, 12.9640), (1, 2, 2.60414), (0, 1, 17.1495), (1, 1, 7.40552)],
-)
-def test_f_convergence_n32(bcid, loading, golden):
+@pytest.mark.parametrize("n", [32, 64])
+@pytest.mark.parametrize("bcid", [0, 1])
+@pytest.mark.parametrize("loading", [2, 1])
+def test_f_convergence_large(bcid, loading, n):
+    """Completes the thesis table doc/validation.tex:470-494 (all rows to
+    n=64, four configurations)."""
     factor = 1e-4 if loading == 2 else 4e-4
-    mesh, forces = plate_case("q", 32, bcid=bcid, loading=loading, factor=factor, domain=F_DOMAIN)
+    mesh, forces = plate_case("q", n, bcid=bcid, loading=loading, factor=factor, domain=F_DOMAIN)
     u, _ = solve(mesh, forces, nu=0.3, em=1.7472e7, t=0.01)
     center = mesh.n_nodes // 2
-    np.testing.assert_allclose(u[center, 2], golden * 1e-6, rtol=1e-4)
+    golden = F_GOLDEN[(bcid, loading)][n] * 1e-6
+    np.testing.assert_allclose(u[center, 2], golden, rtol=1e-4)
 
 
 # ----------------------------------------------------------------------
