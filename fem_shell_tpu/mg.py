@@ -272,10 +272,16 @@ class MultigridShellSystem:
             if sys_l.offsets is None:
                 raise ValueError("multigrid requires stencil-addressable grids")
             if df_operator:
-                pair = sys_l.assemble_df(strip_nodes=strip_nodes, chunk=min(chunk, 8192))
+                # every level goes through the donated strip pipeline (peak
+                # memory = running levels + ONE pair); only the fine level
+                # keeps its lo part — the outer CG operator needs eps64
+                # entries, coarse levels are preconditioner-only and keep
+                # just hi (the temporary DF drops lo by refcount)
                 if l == 0:
-                    self._fine_df = pair  # outer df CG operator
-                values = pair.hi  # V-cycle smoothing shares the hi part
+                    self._fine_df = sys_l.assemble_df(strip_nodes=strip_nodes, chunk=min(chunk, 8192))
+                    values = self._fine_df.hi
+                else:
+                    values = sys_l.assemble_df(strip_nodes=strip_nodes, chunk=min(chunk, 8192)).hi
             else:
                 values = sys_l.assemble()
             self._systems.append(sys_l)
@@ -311,11 +317,20 @@ class MultigridShellSystem:
         (doc/validation.tex:500-537); coupled drivers would use it when
         geometry changes."""
         for l, sys_l in enumerate(self._systems):
+            # release the old operator FIRST: at the largest scale two df
+            # pairs cannot coexist in HBM
+            self.levels[l] = dataclasses.replace(self.levels[l], values=None)
             if self.df_operator:
-                pair = sys_l.assemble_df(strip_nodes=self._df_strip_nodes, chunk=self._df_chunk)
                 if l == 0:
-                    self._fine_df = pair
-                values = pair.hi
+                    self._fine_df = None
+                    self._fine_df = sys_l.assemble_df(
+                        strip_nodes=self._df_strip_nodes, chunk=self._df_chunk
+                    )
+                    values = self._fine_df.hi
+                else:
+                    values = sys_l.assemble_df(
+                        strip_nodes=self._df_strip_nodes, chunk=self._df_chunk
+                    ).hi
             else:
                 values = sys_l.assemble()
             diag = soa_diagonal(values, offsets=sys_l.offsets)

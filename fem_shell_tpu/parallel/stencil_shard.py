@@ -53,7 +53,13 @@ class ShardedStencilSystem:
         device_mesh: Mesh,
         dtype=jnp.float32,
         chunk: int = 8192,
+        l_force: int = None,
+        dirichlet_mask=None,
     ):
+        """``l_force`` overrides the 128-aligned strip size (the sharded
+        multigrid partitions by grid ROWS, so its strips are multiples of
+        the grid width instead); ``dirichlet_mask`` overrides the mesh's
+        BC mask (subsampled masks on multigrid coarse levels)."""
         self.mesh = mesh
         self.material = material
         self.device_mesh = device_mesh
@@ -73,7 +79,12 @@ class ShardedStencilSystem:
 
         # strip size L: lanes per shard, 128-aligned, covering n_pad
         n = mesh.n_nodes
-        self.l = _ceil_to(_ceil_to(n, 128), 128 * s) // s
+        if l_force is not None:
+            if l_force * s < n:
+                raise ValueError(f"l_force={l_force} too small for {n} nodes on {s} shards")
+            self.l = int(l_force)
+        else:
+            self.l = _ceil_to(_ceil_to(n, 128), 128 * s) // s
         self.n_tot = self.l * s
         if self.l < 2 * self.w_pad:
             raise ValueError(
@@ -126,7 +137,8 @@ class ShardedStencilSystem:
         self.chunk = int(chunk)
 
         free = np.ones((self.n_tot, 6), dtype=np.float64)
-        free[:n] = ~mesh.dirichlet_mask()
+        mask = mesh.dirichlet_mask() if dirichlet_mask is None else np.asarray(dirichlet_mask, bool)
+        free[:n] = ~mask
         free[n:] = 0.0
         self.free = jax.device_put(
             jnp.asarray(free.T.reshape(6, s, self.l).transpose(1, 0, 2), dtype), shard
@@ -207,48 +219,53 @@ class ShardedStencilSystem:
         return flat
 
     # ------------------------------------------------------------------
-    def _solve(self, coords, forces_l, rtol, maxiter):
-        wp, l, k, s = self.w_pad, self.l, self.k, self.n_shards
+    def assemble_vals_spmd(self, coords, tri_c, tri_w, quad_c, quad_w, free_l):
+        """Per-shard BC-constrained operator block [6,6,K,L] + inv_diag
+        [6,L]. Must run INSIDE a shard_map over AXIS (uses axis_index and
+        halo collectives). Reused by the sharded multigrid levels."""
+        wp, l, k = self.w_pad, self.l, self.k
         offsets = self.offsets
-        k0 = int(np.searchsorted(np.asarray(self.offsets), 0))
+        k0 = int(np.searchsorted(np.asarray(offsets), 0))
+        row0 = jax.lax.axis_index(AXIS).astype(jnp.int32) * l
 
+        win = self._assemble_local(coords, tri_c, tri_w, batched_tri_stiffness, row0)
+        win = win + self._assemble_local(coords, quad_c, quad_w, batched_quad_stiffness, row0)
+        vals = self._halo_reduce(win).reshape(6, 6, k, l)
+
+        # BC masking: row mask local; col mask via halo'd free
+        free_ext = self._halo_exchange(free_l)  # [6, Wp+L+Wp]
+        vals = vals * free_l[:, None, None, :]
+        for si, off in enumerate(offsets):
+            colf = jax.lax.dynamic_slice_in_dim(free_ext, off + wp, l, axis=1)
+            vals = vals.at[:, :, si, :].multiply(colf[None, :, :])
+        eye = jnp.eye(6, dtype=vals.dtype)
+        constrained = 1.0 - free_l
+        vals = vals.at[:, :, k0, :].add(eye[:, :, None] * constrained[None, :, :])
+
+        diag = jnp.einsum("aan->an", vals[:, :, k0, :])
+        inv_diag = jnp.where(diag != 0, 1.0 / diag, 1.0)
+        return vals, inv_diag
+
+    def matvec_spmd(self, vals, x_l):
+        """Halo-exchange stencil SpMV [6,L] -> [6,L] (inside shard_map)."""
+        wp, l = self.w_pad, self.l
+        x_ext = self._halo_exchange(x_l)
+        y = jnp.zeros_like(x_l)
+        for si, off in enumerate(self.offsets):
+            xs = jax.lax.dynamic_slice_in_dim(x_ext, off + wp, l, axis=1)
+            y = y + jnp.einsum("abn,bn->an", vals[:, :, si, :], xs)
+        return y
+
+    # ------------------------------------------------------------------
+    def _solve(self, coords, forces_l, rtol, maxiter):
         def spmd(coords, tri_c, tri_w, quad_c, quad_w, free_l, b_l):
             tri_c, tri_w = tri_c[0], tri_w[0]
             quad_c, quad_w = quad_c[0], quad_w[0]
             free_l, b_l = free_l[0], b_l[0]
-            row0 = jax.lax.axis_index(AXIS).astype(jnp.int32) * l
 
-            # ---- assembly into haloed window, then halo-reduce
-            win = self._assemble_local(coords, tri_c, tri_w, batched_tri_stiffness, row0)
-            win = win + self._assemble_local(
-                coords, quad_c, quad_w, batched_quad_stiffness, row0
-            )
-            vals = self._halo_reduce(win).reshape(6, 6, k, l)
-
-            # ---- BC masking: row mask local; col mask via halo'd free
-            free_ext = self._halo_exchange(free_l)  # [6, Wp+L+Wp]
-            vals = vals * free_l[:, None, None, :]
-            for si, off in enumerate(offsets):
-                start = off + wp
-                colf = jax.lax.dynamic_slice_in_dim(free_ext, start, l, axis=1)
-                vals = vals.at[:, :, si, :].multiply(colf[None, :, :])
-            eye = jnp.eye(6, dtype=vals.dtype)
-            constrained = 1.0 - free_l
-            vals = vals.at[:, :, k0, :].add(eye[:, :, None] * constrained[None, :, :])
-
-            # ---- diag + PCG
-            diag = jnp.einsum("aan->an", vals[:, :, k0, :])
-            inv_diag = jnp.where(diag != 0, 1.0 / diag, 1.0)
+            vals, inv_diag = self.assemble_vals_spmd(coords, tri_c, tri_w, quad_c, quad_w, free_l)
             b_l = b_l * free_l
-
-            def matvec(x_l):
-                x_ext = self._halo_exchange(x_l)
-                y = jnp.zeros_like(x_l)
-                for si, off in enumerate(offsets):
-                    start = off + wp
-                    xs = jax.lax.dynamic_slice_in_dim(x_ext, start, l, axis=1)
-                    y = y + jnp.einsum("abn,bn->an", vals[:, :, si, :], xs)
-                return y
+            matvec = lambda x_l: self.matvec_spmd(vals, x_l)  # noqa: E731
 
             def pdot(a, b):
                 return jax.lax.psum(jnp.sum(a * b), AXIS)

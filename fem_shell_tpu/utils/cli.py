@@ -105,7 +105,14 @@ def main(argv: Optional[List[str]] = None) -> int:
     if args.devices > 1:
         from fem_shell_tpu.parallel.sharded import ShardedShellSystem, make_device_mesh
 
-        system = ShardedShellSystem(mesh, material, make_device_mesh(args.devices), dtype=dtype)
+        if args.precond == "mg":
+            from fem_shell_tpu.parallel.mg_shard import ShardedMGShellSystem
+
+            system = ShardedMGShellSystem(
+                mesh, material, make_device_mesh(args.devices), dtype=dtype
+            )
+        else:
+            system = ShardedShellSystem(mesh, material, make_device_mesh(args.devices), dtype=dtype)
         u = np.asarray(system.solve(forces, rtol=args.rtol, maxiter=args.maxiter))
         iters, res = system.last_iters, system.last_residual
     elif args.precond == "mg":
