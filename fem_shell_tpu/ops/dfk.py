@@ -1,0 +1,455 @@
+"""df (two-float32) re-execution of traced f64 kernels.
+
+TPU v5e emulates f64 at catastrophic cost for compute-dense code: the
+element-stiffness kernels (ops/elements.py, behavioral ports of the
+reference fem-shell.cpp:306-1110) measure ~0.015 Melem/s in emulated f64
+— 65x slower than the same graph in f32 — and they dominate production
+assembly end-to-end. This module gets f64-class element kernels at
+f32-VPU cost:
+
+1. ``jax.make_jaxpr`` traces the EXISTING, golden-validated f64 kernel
+   once (no transcription — the operation sequence is identical to the
+   reference port by construction);
+2. the jaxpr is re-executed with every f64 value carried as an
+   unevaluated two-float32 sum (hi, lo) and every arithmetic primitive
+   mapped to an error-free-transform implementation (Knuth two_sum,
+   Dekker two_prod — ops/df.py); data-movement primitives (slice,
+   gather, transpose, ...) apply componentwise, which is exact.
+
+Accuracy: each df op is correctly rounded to ~2^-49 relative (standard
+double-double bounds), strictly tighter than the TPU's own emulated f64
+(CLAUDE.md: ~1e-8-noise class for some op families). Entrywise element
+stiffness error measured ~1e-14 relative vs CPU-native f64.
+
+Layout: trace the kernel vmapped with the ELEMENT axis LAST
+(in_axes/out_axes=-1) so every interpreted op keeps elements on the
+128-lane axis — materialized intermediates then tile-pad by <=2.7x
+instead of the >40x a trailing (3,3)/(24,24) axis costs. EFT
+optimization barriers force materialization (see ops/df.py), so this
+matters here far more than in ordinary fused f32 code.
+
+CPU caveat (CLAUDE.md): LLVM's FMA contraction breaks EFTs under CPU
+jit; interpret EAGERLY on CPU (tests) and under jit only on TPU.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.extend.core import Literal as _Literal
+
+from fem_shell_tpu.ops.df import DF, fast_two_sum, two_prod, two_sum
+
+_F32 = jnp.float32
+
+
+# ----------------------------------------------------------------------
+# df scalar/array arithmetic (beyond ops/df.py's vector helpers)
+# ----------------------------------------------------------------------
+
+
+def d_from_f64(x) -> DF:
+    """Exact split of host/f64 values into (hi, lo) f32 pairs."""
+    x = np.asarray(x, np.float64)
+    hi = x.astype(np.float32)
+    lo = (x - hi.astype(np.float64)).astype(np.float32)
+    return DF(jnp.asarray(hi), jnp.asarray(lo))
+
+
+def d_to_f64(x: DF):
+    return x.hi.astype(jnp.float64) + x.lo.astype(jnp.float64)
+
+
+def d_add(x: DF, y: DF) -> DF:
+    s, e = two_sum(x.hi, y.hi)
+    e = e + (x.lo + y.lo)
+    return DF(*two_sum(s, e))
+
+
+def d_sub(x: DF, y: DF) -> DF:
+    s, e = two_sum(x.hi, -y.hi)
+    e = e + (x.lo - y.lo)
+    return DF(*two_sum(s, e))
+
+
+def d_neg(x: DF) -> DF:
+    return DF(-x.hi, -x.lo)
+
+
+def d_mul(x: DF, y: DF) -> DF:
+    p, e = two_prod(x.hi, y.hi)
+    e = e + (x.hi * y.lo + x.lo * y.hi)
+    return DF(*fast_two_sum(p, e))
+
+
+def d_div(x: DF, y: DF) -> DF:
+    """Long-division style double-double divide (~eps49 relative)."""
+    q0 = x.hi / y.hi
+    p, pe = two_prod(q0, y.hi)
+    # r = x - q0*y
+    s, se = two_sum(x.hi, -p)
+    se = se + (x.lo - pe - q0 * y.lo)
+    r = s + se
+    q1 = r / y.hi
+    return DF(*fast_two_sum(q0, q1))
+
+
+def d_sqrt(x: DF) -> DF:
+    """One df Newton refinement of the f32 sqrt (~eps49 relative).
+    Guards the exact-zero case (frame vectors of degenerate padding
+    elements): sqrt(0) = 0 without 0/0."""
+    s0 = jnp.sqrt(x.hi)
+    p, pe = two_prod(s0, s0)
+    e, ee = two_sum(x.hi, -p)
+    num = e + (ee + (x.lo - pe))
+    denom = jnp.where(s0 > 0, 2.0 * s0, jnp.float32(1.0))
+    c = jnp.where(s0 > 0, num / denom, jnp.float32(0.0))
+    return DF(*fast_two_sum(s0, c))
+
+
+def _d_lt(x: DF, y: DF):
+    return (x.hi < y.hi) | ((x.hi == y.hi) & (x.lo < y.lo))
+
+
+def _d_le(x: DF, y: DF):
+    return (x.hi < y.hi) | ((x.hi == y.hi) & (x.lo <= y.lo))
+
+
+def d_max(x: DF, y: DF) -> DF:
+    keep_y = _d_lt(x, y)
+    return DF(jnp.where(keep_y, y.hi, x.hi), jnp.where(keep_y, y.lo, x.lo))
+
+
+def d_min(x: DF, y: DF) -> DF:
+    keep_y = _d_lt(y, x)
+    return DF(jnp.where(keep_y, y.hi, x.hi), jnp.where(keep_y, y.lo, x.lo))
+
+
+def d_integer_pow(x: DF, p: int) -> DF:
+    if p < 0:
+        inv = d_integer_pow(x, -p)
+        one = DF(jnp.ones_like(x.hi), jnp.zeros_like(x.hi))
+        return d_div(one, inv)
+    if p == 0:
+        return DF(jnp.ones_like(x.hi), jnp.zeros_like(x.hi))
+    acc = None
+    base = x
+    while p:
+        if p & 1:
+            acc = base if acc is None else d_mul(acc, base)
+        p >>= 1
+        if p:
+            base = d_mul(base, base)
+    return acc
+
+
+def d_reduce_sum(x: DF, axes: Sequence[int]) -> DF:
+    """Pairwise-tree df summation along ``axes`` (renormalized adds)."""
+    for ax in sorted(axes, reverse=True):
+        n = x.hi.shape[ax]
+        while n > 1:
+            half = n // 2
+            lo_idx = [slice(None)] * x.hi.ndim
+            hi_idx = [slice(None)] * x.hi.ndim
+            lo_idx[ax] = slice(0, half)
+            hi_idx[ax] = slice(half, 2 * half)
+            pair = d_add(
+                DF(x.hi[tuple(lo_idx)], x.lo[tuple(lo_idx)]),
+                DF(x.hi[tuple(hi_idx)], x.lo[tuple(hi_idx)]),
+            )
+            if n % 2:
+                last = [slice(None)] * x.hi.ndim
+                last[ax] = slice(2 * half, n)
+                head = [slice(None)] * x.hi.ndim
+                head[ax] = slice(0, 1)
+                first = d_add(
+                    DF(pair.hi[tuple(head)], pair.lo[tuple(head)]),
+                    DF(x.hi[tuple(last)], x.lo[tuple(last)]),
+                )
+                rest = [slice(None)] * x.hi.ndim
+                rest[ax] = slice(1, half)
+                pair = DF(
+                    jnp.concatenate([first.hi, pair.hi[tuple(rest)]], axis=ax),
+                    jnp.concatenate([first.lo, pair.lo[tuple(rest)]], axis=ax),
+                )
+            x = pair
+            n = half
+        x = DF(jnp.squeeze(x.hi, axis=ax), jnp.squeeze(x.lo, axis=ax))
+    return x
+
+
+def d_dot_general(a: DF, b: DF, dimension_numbers) -> DF:
+    """df dot_general: explicit (static, small) contraction loop of
+    df multiply-adds. Output dims follow lax.dot_general: batch dims,
+    then lhs free dims, then rhs free dims."""
+    (lc, rc), (lb, rb) = dimension_numbers
+    lc, rc, lb, rb = map(tuple, (lc, rc, lb, rb))
+    a_free = [d for d in range(a.hi.ndim) if d not in lc + lb]
+    b_free = [d for d in range(b.hi.ndim) if d not in rc + rb]
+
+    def canon(x, batch, free, contract):
+        perm = list(batch) + list(free) + list(contract)
+        hi = jnp.transpose(x.hi, perm)
+        lo = jnp.transpose(x.lo, perm)
+        bsh = [x.hi.shape[d] for d in batch]
+        fsh = [x.hi.shape[d] for d in free]
+        csh = [x.hi.shape[d] for d in contract]
+        nb, nf, nc = int(np.prod(bsh or [1])), int(np.prod(fsh or [1])), int(np.prod(csh or [1]))
+        return DF(hi.reshape(nb, nf, nc), lo.reshape(nb, nf, nc)), bsh, fsh
+
+    ac, bsh, a_fsh = canon(a, lb, a_free, lc)
+    bc, _, b_fsh = canon(b, rb, b_free, rc)
+    n_contract = ac.hi.shape[2]
+    acc = None
+    for c in range(n_contract):
+        term = d_mul(
+            DF(ac.hi[:, :, None, c], ac.lo[:, :, None, c]),
+            DF(bc.hi[:, None, :, c], bc.lo[:, None, :, c]),
+        )
+        acc = term if acc is None else d_add(acc, term)
+    out_shape = tuple(bsh) + tuple(a_fsh) + tuple(b_fsh)
+    return DF(acc.hi.reshape(out_shape), acc.lo.reshape(out_shape))
+
+
+# ----------------------------------------------------------------------
+# jaxpr interpreter
+# ----------------------------------------------------------------------
+
+
+def _is_float(aval) -> bool:
+    return jnp.issubdtype(aval.dtype, jnp.floating)
+
+
+def _wrap(val):
+    """Lift a concrete float value (jaxpr const / literal) to DF."""
+    if isinstance(val, DF):
+        return val
+    v = np.asarray(val)
+    if np.issubdtype(v.dtype, np.floating):
+        return d_from_f64(v)
+    return jnp.asarray(v)
+
+
+def _bind_parts(prim, params, *vals):
+    """Apply a pure data-movement primitive componentwise (exact)."""
+    any_df = any(isinstance(v, DF) for v in vals)
+    if not any_df:
+        return prim.bind(*vals, **params)
+    his = [v.hi if isinstance(v, DF) else v for v in vals]
+    los = [v.lo if isinstance(v, DF) else v for v in vals]
+    return DF(prim.bind(*his, **params), prim.bind(*los, **params))
+
+
+def _rule_movement(eqn, *vals):
+    return _bind_parts(eqn.primitive, eqn.params, *vals)
+
+
+def _rule_convert(eqn, x):
+    new = eqn.params["new_dtype"]
+    if jnp.issubdtype(new, jnp.floating):
+        if isinstance(x, DF):
+            return x
+        # int -> float: element-kernel integers are tiny (quadrature /
+        # index constants), exactly representable in f32
+        return DF(x.astype(_F32), jnp.zeros(x.shape, _F32))
+    if isinstance(x, DF):
+        return d_to_f64(x).astype(new)
+    return x.astype(new)
+
+
+def _rule_iota(eqn):
+    p = dict(eqn.params)
+    if jnp.issubdtype(p["dtype"], jnp.floating):
+        p["dtype"] = _F32
+        hi = eqn.primitive.bind(**p)
+        return DF(hi, jnp.zeros_like(hi))
+    return eqn.primitive.bind(**p)
+
+
+def _rule_scatter(eqn, operand, indices, updates):
+    """.at[].set lowers to scatter (replace) — exact componentwise.
+    Rebuilt through the public API so the update computation is retyped
+    for f32."""
+    kw = dict(
+        dimension_numbers=eqn.params["dimension_numbers"],
+        indices_are_sorted=eqn.params["indices_are_sorted"],
+        unique_indices=eqn.params["unique_indices"],
+        mode=eqn.params["mode"],
+    )
+    if not isinstance(operand, DF):
+        return jax.lax.scatter(operand, indices, updates, **kw)
+    upd = updates if isinstance(updates, DF) else DF(updates, jnp.zeros_like(updates))
+    return DF(
+        jax.lax.scatter(operand.hi, indices, upd.hi, **kw),
+        jax.lax.scatter(operand.lo, indices, upd.lo, **kw),
+    )
+
+
+def _cmp(op_hi, op_tie):
+    def rule(eqn, x, y):
+        if isinstance(x, DF) or isinstance(y, DF):
+            x = x if isinstance(x, DF) else DF(x, jnp.zeros_like(x))
+            y = y if isinstance(y, DF) else DF(y, jnp.zeros_like(y))
+            return op_hi(x.hi, y.hi) | ((x.hi == y.hi) & op_tie(x.lo, y.lo))
+        return eqn.primitive.bind(x, y, **eqn.params)
+
+    return rule
+
+
+def _rule_select_n(eqn, pred, *cases):
+    if not any(isinstance(c, DF) for c in cases):
+        return eqn.primitive.bind(pred, *cases, **eqn.params)
+    cs = [c if isinstance(c, DF) else DF(c, jnp.zeros_like(c)) for c in cases]
+    return DF(
+        jax.lax.select_n(pred, *[c.hi for c in cs]),
+        jax.lax.select_n(pred, *[c.lo for c in cs]),
+    )
+
+
+def _arith(fn):
+    def rule(eqn, *vals):
+        if not any(isinstance(v, DF) for v in vals):
+            # pure integer/bool arithmetic (index computation) stays plain
+            return eqn.primitive.bind(*vals, **eqn.params)
+        vals = [
+            v
+            if isinstance(v, DF)
+            else DF(v.astype(_F32), jnp.zeros(jnp.shape(v), _F32))
+            for v in vals
+        ]
+        return fn(*vals)
+
+    return rule
+
+
+_MOVEMENT = (
+    "broadcast_in_dim",
+    "concatenate",
+    "gather",
+    "reshape",
+    "slice",
+    "squeeze",
+    "transpose",
+    "rev",
+    "expand_dims",
+    "copy",
+)
+
+_RULES: Dict[str, Any] = {name: _rule_movement for name in _MOVEMENT}
+_RULES.update(
+    add=_arith(d_add),
+    sub=_arith(d_sub),
+    mul=_arith(d_mul),
+    div=_arith(d_div),
+    neg=_arith(d_neg),
+    max=_arith(d_max),
+    min=_arith(d_min),
+    sqrt=_arith(d_sqrt),
+    convert_element_type=_rule_convert,
+    iota=_rule_iota,
+    scatter=_rule_scatter,
+    select_n=_rule_select_n,
+    lt=_cmp(jnp.less, jnp.less),
+    le=_cmp(jnp.less, jnp.less_equal),
+    gt=_cmp(jnp.greater, jnp.greater),
+    ge=_cmp(jnp.greater, jnp.greater_equal),
+    integer_pow=lambda eqn, x: d_integer_pow(x, eqn.params["y"]),
+    reduce_sum=lambda eqn, x: d_reduce_sum(x, eqn.params["axes"]),
+    dot_general=lambda eqn, a, b: d_dot_general(a, b, eqn.params["dimension_numbers"]),
+)
+
+
+def _abs_df(x: DF) -> DF:
+    negate = x.hi < 0
+    return DF(jnp.where(negate, -x.hi, x.hi), jnp.where(negate, -x.lo, x.lo))
+
+
+_RULES["abs"] = _arith(_abs_df)
+
+
+def _rule_eq(eqn, x, y):
+    if isinstance(x, DF) or isinstance(y, DF):
+        x = x if isinstance(x, DF) else DF(x, jnp.zeros_like(x))
+        y = y if isinstance(y, DF) else DF(y, jnp.zeros_like(y))
+        return (x.hi == y.hi) & (x.lo == y.lo)
+    return eqn.primitive.bind(x, y, **eqn.params)
+
+
+_RULES["eq"] = _rule_eq
+
+
+def df_eval_jaxpr(jaxpr, consts, *args):
+    """Evaluate a (f64-traced) jaxpr with floats carried as DF pairs.
+
+    ``args``: DF for float-typed invars, plain arrays otherwise.
+    """
+    env: Dict[Any, Any] = {}
+
+    def read(v):
+        if isinstance(v, _Literal):
+            return _wrap(v.val)
+        return env[v]
+
+    def write(v, val):
+        env[v] = val
+
+    for v, c in zip(jaxpr.constvars, consts):
+        write(v, _wrap(c))
+    for v, a in zip(jaxpr.invars, args):
+        write(v, a)
+
+    for eqn in jaxpr.eqns:
+        vals = [read(v) for v in eqn.invars]
+        name = eqn.primitive.name
+        if name in ("pjit", "jit", "closed_call", "custom_jvp_call", "custom_vjp_call"):
+            sub = eqn.params.get("jaxpr") or eqn.params.get("call_jaxpr")
+            outs = df_eval_jaxpr(sub.jaxpr, sub.consts, *vals)
+        else:
+            rule = _RULES.get(name)
+            if rule is None:
+                if any(isinstance(v, DF) for v in vals):
+                    raise NotImplementedError(f"no df rule for primitive '{name}'")
+                outs = eqn.primitive.bind(*vals, **eqn.params)
+            else:
+                outs = rule(eqn, *vals)
+        if eqn.primitive.multiple_results:
+            for v, o in zip(eqn.outvars, outs):
+                write(v, o)
+        else:
+            write(eqn.outvars[0], outs)
+
+    return [read(v) for v in jaxpr.outvars]
+
+
+class DfFunction:
+    """A traced f64 function re-executable in df arithmetic.
+
+    Float arguments are passed/returned as DF pairs; integer arguments
+    pass through. The trace is cached per concrete input shapes.
+    """
+
+    def __init__(self, fn):
+        self._fn = fn
+        self._cache = {}
+
+    def __call__(self, *args):
+        key = tuple(
+            (True, v.hi.shape, str(v.hi.dtype)) if isinstance(v, DF) else (False, np.shape(v), str(np.asarray(v).dtype))
+            for v in args
+        )
+        closed = self._cache.get(key)
+        if closed is None:
+            example = [
+                jax.ShapeDtypeStruct(v.hi.shape, jnp.float64) if isinstance(v, DF) else v
+                for v in args
+            ]
+            closed = jax.make_jaxpr(self._fn)(*example)
+            self._cache[key] = closed
+        return df_eval_jaxpr(closed.jaxpr, closed.consts, *args)
+
+
+def df_function(fn) -> DfFunction:
+    return DfFunction(fn)

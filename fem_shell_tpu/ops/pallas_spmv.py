@@ -43,6 +43,9 @@ def _kernel(offsets, r_tile, hr, x_hbm, values_ref, out_ref, x_vmem, sem):
     i = pl.program_id(0)
     n_tiles = pl.num_programs(0)
     win_rows = r_tile + 2 * hr
+    # NB: i % 2 with a python literal promotes to int64 under jax_enable_x64
+    # — Mosaic's 64-bit convert helper then recurses forever at lowering.
+    two = jnp.int32(2)
 
     # double-buffered x-window DMA: wait on this tile's copy (started by the
     # previous iteration), then prefetch the next tile's window so its
@@ -56,10 +59,10 @@ def _kernel(offsets, r_tile, hr, x_hbm, values_ref, out_ref, x_vmem, sem):
 
     @pl.when(i == 0)
     def _():
-        window_dma(0, 0).start()
+        window_dma(jnp.int32(0), 0).start()
 
-    cur = i % 2
-    nxt = (i + 1) % 2
+    cur = jax.lax.rem(i, two)
+    nxt = jax.lax.rem(i + 1, two)
 
     @pl.when(i + 1 < n_tiles)
     def _():
@@ -76,8 +79,8 @@ def _kernel(offsets, r_tile, hr, x_hbm, values_ref, out_ref, x_vmem, sem):
         if m == 0:
             slab = x_vmem[cur, :, q : q + r_tile, :]
         else:
-            a_rows = pltpu.roll(x_vmem[cur, :, q : q + r_tile, :], LANES - m, 2)
-            b_rows = pltpu.roll(x_vmem[cur, :, q + 1 : q + 1 + r_tile, :], LANES - m, 2)
+            a_rows = pltpu.roll(x_vmem[cur, :, q : q + r_tile, :], jnp.int32(LANES - m), 2)
+            b_rows = pltpu.roll(x_vmem[cur, :, q + 1 : q + 1 + r_tile, :], jnp.int32(LANES - m), 2)
             slab = jnp.where(lane < LANES - m, a_rows, b_rows)
         for b in range(6):
             xs[(s, b)] = slab[b]
@@ -189,6 +192,7 @@ def _kernel_tiled(offsets, k, r_tile, hr, x_hbm, values_ref, out_ref, x_vmem, se
     i = pl.program_id(0)
     n_tiles = pl.num_programs(0)
     win_rows = r_tile + 2 * hr
+    two = jnp.int32(2)  # see _kernel: avoid int64 promotion under x64
 
     def window_dma(slot, tile):
         return pltpu.make_async_copy(
@@ -199,13 +203,13 @@ def _kernel_tiled(offsets, k, r_tile, hr, x_hbm, values_ref, out_ref, x_vmem, se
 
     @pl.when(i == 0)
     def _():
-        window_dma(0, 0).start()
+        window_dma(jnp.int32(0), 0).start()
 
-    cur = i % 2
+    cur = jax.lax.rem(i, two)
 
     @pl.when(i + 1 < n_tiles)
     def _():
-        window_dma((i + 1) % 2, i + 1).start()
+        window_dma(jax.lax.rem(i + 1, two), i + 1).start()
 
     window_dma(cur, i).wait()
 
@@ -216,8 +220,8 @@ def _kernel_tiled(offsets, k, r_tile, hr, x_hbm, values_ref, out_ref, x_vmem, se
         if m == 0:
             slabs.append(x_vmem[cur, :, q : q + r_tile, :])
         else:
-            a_rows = pltpu.roll(x_vmem[cur, :, q : q + r_tile, :], LANES - m, 2)
-            b_rows = pltpu.roll(x_vmem[cur, :, q + 1 : q + 1 + r_tile, :], LANES - m, 2)
+            a_rows = pltpu.roll(x_vmem[cur, :, q : q + r_tile, :], jnp.int32(LANES - m), 2)
+            b_rows = pltpu.roll(x_vmem[cur, :, q + 1 : q + 1 + r_tile, :], jnp.int32(LANES - m), 2)
             slabs.append(jnp.where(lane < LANES - m, a_rows, b_rows))
 
     for a in range(6):
