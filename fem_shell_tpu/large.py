@@ -174,13 +174,77 @@ class LargeShellSystem:
         self._strip_key = key
         return self._strip_cache
 
-    def assemble_df(self, strip_nodes: int = 65536, chunk: int = 8192):
+    def _grid_kernel_fn(self, m: int):
+        """Batched element-stiffness fn (xyz [m,3,E] -> ke [6m,6m,E]) for
+        the df-jaxpr grid assembly; cached so the per-strip jit memoizes."""
+        key = ("_grid_kfn", m)
+        fn = getattr(self, "_grid_kfns", {}).get(m)
+        if fn is not None:
+            return fn
+        from fem_shell_tpu.ops.elements import quad_shell_stiffness, tri_shell_stiffness
+
+        dm64, dp64 = self.material.matrices()
+        dm = jnp.asarray(dm64, jnp.float64)
+        dp = jnp.asarray(dp64, jnp.float64)
+        t = self.thickness
+        base = tri_shell_stiffness if m == 3 else quad_shell_stiffness
+        fn = jax.vmap(lambda p: base(p, dm, dp, t), in_axes=2, out_axes=2)
+        if not hasattr(self, "_grid_kfns"):
+            self._grid_kfns = {}
+        self._grid_kfns[m] = fn
+        return fn
+
+    def assemble_df(self, strip_nodes: int = 65536, chunk: int = 8192, method: str = "auto"):
         """BC-constrained df operator values (hi, lo), each FLAT
         [36K, Npad] f32 (see ops/soa.py:assemble_soa_df for the layout
-        and memory rationale); entrywise accurate to ~eps64. Requires
-        jax_enable_x64 (the strip kernels run in emulated f64, one strip
-        at a time; the carry updates in place via buffer donation)."""
+        and memory rationale); entrywise accurate to ~eps64.
+
+        Two pipelines:
+        - ``grid`` (auto-selected for detected row-major structured
+          grids): df-jaxpr element kernels + scatter-free shifted-window
+          accumulation (ops/assemble_grid.py) — f32-VPU speed, no
+          emulated f64 anywhere;
+        - ``strip`` (general meshes): emulated-f64 kernels + strip
+          scatter (ops/soa.py:assemble_soa_df).
+        """
         from fem_shell_tpu.ops.df import DF
+
+        if method == "auto":
+            # grid path is TPU-only: under CPU jit LLVM FMA-contracts the
+            # barrier-free EFTs (ops/df.py) — CPU keeps the strip pipeline
+            # (whose "emulated f64" is native f64 there anyway)
+            method = "strip"
+            if self.offsets is not None and jax.devices()[0].platform != "cpu":
+                from fem_shell_tpu.mg import detect_structured_grid
+
+                grid = detect_structured_grid(self.mesh)
+                if grid is not None:
+                    self._grid_info = grid
+                    method = "grid"
+        if method == "grid":
+            from fem_shell_tpu.ops.assemble_grid import assemble_grid_df
+
+            grid = getattr(self, "_grid_info", None)
+            if grid is None:
+                from fem_shell_tpu.mg import detect_structured_grid
+
+                grid = detect_structured_grid(self.mesh)
+                self._grid_info = grid
+            m = 3 if grid.elem_type == "t" else 4
+            with jax.default_matmul_precision("highest"):
+                return assemble_grid_df(
+                    grid,
+                    np.asarray(self.mesh.coords, np.float64),
+                    self.free_t.astype(jnp.float32),
+                    self.offsets,
+                    self.pattern.n_pad,
+                    self._grid_kernel_fn(m),
+                    # strip_nodes is a NODE budget (shared with the strip
+                    # pipeline API); the grid pipeline buckets by element
+                    # rows
+                    strip_rows=max(1, strip_nodes // grid.nxp),
+                )
+
         from fem_shell_tpu.ops.soa import assemble_soa_df
 
         c = self._strip_inputs(strip_nodes, chunk)

@@ -209,6 +209,7 @@ class MultigridShellSystem:
         chunk: int = 16384,
         df_operator: bool = False,
         strip_nodes: int = 65536,
+        use_pallas: Optional[bool] = None,
     ):
         """``df_operator=True`` is the multi-million-element configuration:
         every level is strip-assembled into a df (two-f32) operator
@@ -223,6 +224,16 @@ class MultigridShellSystem:
         self.df_operator = df_operator
         self.nu_smooth = nu_smooth
         self.omega = omega
+        # Pallas stencil kernels (f32 smoother + df outer matvec): real
+        # accelerator only — CPU Pallas is interpret-only, and f64 levels
+        # keep the XLA path (no f64 inside Pallas). Plain (non-tiled)
+        # layout everywhere: no relayout copies, which matters when the
+        # fine df pair is most of HBM.
+        if use_pallas is None:
+            use_pallas = jax.devices()[0].platform != "cpu" and (
+                df_operator or dtype == jnp.float32
+            )
+        self.use_pallas = use_pallas
 
         grid = detect_structured_grid(mesh)
         if grid is None:
@@ -348,9 +359,21 @@ class MultigridShellSystem:
             del self._levels32  # stale f32 copies of the old values
 
     # ------------------------------------------------------------------
+    def _mv(self, lvl: _Level, x):
+        """Level matvec: Pallas stencil kernel for f32 operators on a
+        real accelerator, XLA soa_matvec otherwise."""
+        if self.use_pallas and lvl.values.dtype == jnp.float32:
+            from fem_shell_tpu.ops.pallas_spmv import stencil_spmv_pallas
+
+            k = len(lvl.offsets)
+            return stencil_spmv_pallas(
+                lvl.values.reshape(36, k, lvl.npad), x, lvl.offsets
+            )
+        return soa_matvec(lvl.values, x, offsets=lvl.offsets)
+
     def _smooth(self, lvl: _Level, x, b, sweeps):
         for _ in range(sweeps):
-            r = b - soa_matvec(lvl.values, x, offsets=lvl.offsets)
+            r = b - self._mv(lvl, x)
             x = x + self.omega * lvl.inv_diag * r
         return x
 
@@ -363,7 +386,7 @@ class MultigridShellSystem:
             return flat * lvl.free_t
         x = jnp.zeros_like(b)
         x = self._smooth(lvl, x, b, self.nu_smooth)
-        r = b - soa_matvec(lvl.values, x, offsets=lvl.offsets)
+        r = b - self._mv(lvl, x)
         nxt = levels[li + 1]
         rc = _from_grid(_restrict(_to_grid(r, lvl)), nxt) * nxt.free_t
         ec = self._vcycle(levels, li + 1, rc)
@@ -449,7 +472,12 @@ class MultigridShellSystem:
         from fem_shell_tpu.solver_df import pcg_df
 
         b = df_from_f64(forces_t64 * fine.free_t.astype(jnp.float64))
-        mv = lambda x: df_stencil_matvec(fine_df, x, fine.offsets)  # noqa: E731
+        if self.use_pallas:
+            from fem_shell_tpu.ops.pallas_spmv_df import stencil_spmv_pallas_df_flat
+
+            mv = lambda x: stencil_spmv_pallas_df_flat(fine_df, x, fine.offsets)  # noqa: E731
+        else:
+            mv = lambda x: df_stencil_matvec(fine_df, x, fine.offsets)  # noqa: E731
 
         def prec(r: "DF"):
             z32 = self._vcycle(levels, 0, r.hi)

@@ -1,0 +1,274 @@
+"""Scatter-free df assembly for structured grid meshes.
+
+The production operator for multi-million-element solves is the flat
+[36K, Npad] two-float32 pair (ops/soa.py:assemble_soa_df). The generic
+strip pipeline building it runs the element kernels in TPU-emulated f64
+(0.015 Melem/s measured — it dominates end-to-end assembly) and
+scatters with duplicate indices. On a detected row-major structured
+grid (mg.py:detect_structured_grid) both costs disappear:
+
+- element stiffnesses come from the df-jaxpr kernels (ops/dfk.py):
+  two-float32 error-free-transform arithmetic at f32 VPU speed,
+  entrywise ~1e-13-relative vs native f64;
+- scatter becomes SHIFTED-WINDOW df adds: on a grid, the elements
+  incident to a node sit at fixed 2D offsets, so accumulating
+  ke[la*6+a, lb*6+b] into operator row (a*6+b)*K + slot(la,lb) is a
+  static slice-add on the [rows, nxp] node grid — no gather/scatter
+  anywhere (reference hot loop analog: fem-shell.cpp:1160-1233).
+
+The strip structure (python-driven, donated carry) is kept from
+assemble_soa_df: peak memory = the df pair + one strip's element
+matrices; each strip folds into the carry with renormalized two_sum
+adds, so cross-strip node rows stay df-exact.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fem_shell_tpu.ops.df import DF
+from fem_shell_tpu.ops.dfk import d_add, df_function, two_sum
+
+
+# corner (dy, dx) tables per element family, matching mg.py:_grid_conn
+_QUAD_CORNERS = ((0, 0), (0, 1), (1, 1), (1, 0))
+_TRI_FAMS = {
+    True: (((0, 0), (0, 1), (1, 0)), ((0, 1), (1, 1), (1, 0))),  # ul_lr
+    False: (((0, 0), (1, 1), (0, 1)), ((1, 1), (0, 0), (1, 0))),
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class GridFamily:
+    corners: Tuple[Tuple[int, int], ...]  # (dy, dx) per local node
+    slots: Tuple[Tuple[int, ...], ...]  # [m][m] -> stencil slot index
+
+
+def grid_families(elem_type: str, ul_lr: bool, nxp: int, offsets) -> List[GridFamily]:
+    off_index = {int(o): i for i, o in enumerate(offsets)}
+    fams = []
+    corner_sets = (_QUAD_CORNERS,) if elem_type == "q" else _TRI_FAMS[ul_lr]
+    for corners in corner_sets:
+        m = len(corners)
+        slots = tuple(
+            tuple(
+                off_index[
+                    (corners[lb][0] - corners[la][0]) * nxp
+                    + (corners[lb][1] - corners[la][1])
+                ]
+                for lb in range(m)
+            )
+            for la in range(m)
+        )
+        fams.append(GridFamily(corners=corners, slots=slots))
+    return fams
+
+
+_GRID_STEP_CACHE = {}
+
+
+def _make_grid_step(
+    kernel_fn,
+    elem_type: str,
+    ul_lr: bool,
+    rows_e: int,
+    nx: int,
+    nxp: int,
+    k: int,
+    offsets: Tuple[int, ...],
+    npad: int,
+):
+    """One donated strip update of the flat df carry [36K, Npad].
+
+    Static config -> jitted step(hi, lo, ch, cl, free_pad, r0):
+    - element coords sliced from the [3, nyp, nxp] df coordinate grid
+      (pure dynamic_slice, no gather),
+    - df element kernels (ops/dfk.py) on [m, 3, rows_e*nx],
+    - 2D shifted-window df accumulation into a [36K, rows_n*nxp] strip,
+    - BC row/col masking via windows of the 1-halo-padded free grid
+      (masks are idempotent 0/1 factors; overlap rows masked twice stay
+      correct),
+    - renormalized two_sum fold into the carry (donated in place).
+    """
+    key = (kernel_fn, elem_type, ul_lr, rows_e, nx, nxp, k, offsets, npad)
+    if key in _GRID_STEP_CACHE:
+        return _GRID_STEP_CACHE[key]
+
+    fams = grid_families(elem_type, ul_lr, nxp, offsets)
+    rows_n = rows_e + 1
+    e_strip = rows_e * nx
+    # 2D (dy, dx) decomposition of each stencil offset for column masks
+    off_2d = []
+    for o in offsets:
+        dy = int(np.round(o / nxp))
+        dx = int(o - dy * nxp)
+        assert abs(dx) <= 1 and abs(dy) <= 1, (o, nxp)
+        off_2d.append((dy, dx))
+
+    dfn = df_function(kernel_fn)
+
+    def step(hi, lo, ch, cl, free_pad_h, r0):
+        z = jnp.zeros((), r0.dtype)
+        cwin_h = jax.lax.dynamic_slice(ch, (z, r0, z), (3, rows_n, nxp))
+        cwin_l = jax.lax.dynamic_slice(cl, (z, r0, z), (3, rows_n, nxp))
+
+        # per-slot contribution lists: (corner, DF [36, rows_e, nx]) with
+        # the leading axis ordered a*6+b — vectorized over all 36 (a, b)
+        # block entries so each (la, lb) pair is ONE padded window add,
+        # not 36 (graph size / remote-compile time)
+        contribs = {}  # slot -> list of (dy, dx, DF [36, rows_e, nx])
+        for fam in fams:
+            m = len(fam.corners)
+            xyz_h = jnp.stack(
+                [
+                    cwin_h[:, dy : dy + rows_e, dx : dx + nx].reshape(3, e_strip)
+                    for dy, dx in fam.corners
+                ]
+            )  # [m, 3, E]
+            xyz_l = jnp.stack(
+                [
+                    cwin_l[:, dy : dy + rows_e, dx : dx + nx].reshape(3, e_strip)
+                    for dy, dx in fam.corners
+                ]
+            )
+            (ke,) = dfn(DF(xyz_h, xyz_l))  # DF [6m, 6m, E]
+            keh = ke.hi.reshape(m, 6, m, 6, rows_e, nx)
+            kel = ke.lo.reshape(m, 6, m, 6, rows_e, nx)
+            for la in range(m):
+                dy, dx = fam.corners[la]
+                for lb in range(m):
+                    s = fam.slots[la][lb]
+                    contribs.setdefault(s, []).append(
+                        (
+                            dy,
+                            dx,
+                            DF(
+                                keh[la, :, lb].reshape(36, rows_e, nx),
+                                kel[la, :, lb].reshape(36, rows_e, nx),
+                            ),
+                        )
+                    )
+
+        # one padded tree-reduction per slot: pad each window to the
+        # strip grid, df-add pairwise — no read-modify-write chains
+        # (an incremental .at[].set formulation serializes XLA into
+        # per-update buffer passes)
+        def padded(dy, dx, w):
+            pad = ((0, 0), (dy, rows_n - rows_e - dy), (dx, nxp - nx - dx))
+            return DF(jnp.pad(w.hi, pad), jnp.pad(w.lo, pad))
+
+        slot_out = []
+        for s in range(k):
+            cs = contribs.get(s)
+            if cs is None:
+                zero = jnp.zeros((36, rows_n, nxp), jnp.float32)
+                slot_out.append(DF(zero, zero))
+                continue
+            terms = [padded(dy, dx, w) for dy, dx, w in cs]
+            while len(terms) > 1:
+                terms = [
+                    d_add(terms[i], terms[i + 1]) if i + 1 < len(terms) else terms[i]
+                    for i in range(0, len(terms), 2)
+                ]
+            slot_out.append(terms[0])
+        # [K][36, rows_n, nxp] -> [36K, rows_n, nxp] with row = (a6+b)*K + s
+        acc_h = jnp.stack([t.hi for t in slot_out], axis=1).reshape(36 * k, rows_n, nxp)
+        acc_l = jnp.stack([t.lo for t in slot_out], axis=1).reshape(36 * k, rows_n, nxp)
+
+        # BC masks: free_pad_h is [6, nyp+2, nxp+2] (1-node halo). Row
+        # window at (r0+1, 1); column windows additionally shifted by the
+        # slot's 2D offset.
+        row_free = jax.lax.dynamic_slice(
+            free_pad_h, (z, r0 + 1, jnp.ones((), r0.dtype)), (6, rows_n, nxp)
+        )
+        col_free = [
+            jax.lax.dynamic_slice(
+                free_pad_h,
+                (z, r0 + 1 + dy, jnp.asarray(1 + dx, r0.dtype)),
+                (6, rows_n, nxp),
+            )
+            for dy, dx in off_2d
+        ]
+        colf = jnp.moveaxis(jnp.stack(col_free), 0, 1)  # [6, K, rows_n, nxp]
+        mask = (row_free[:, None, None] * colf[None]).reshape(
+            36 * k, rows_n, nxp
+        )  # row (a*6+b)*K + s = row_free[a] * col_free[s][b]
+        acc_h = (acc_h * mask).reshape(36 * k, rows_n * nxp)
+        acc_l = (acc_l * mask).reshape(36 * k, rows_n * nxp)
+
+        start = r0 * nxp
+        cur_h = jax.lax.dynamic_slice(hi, (z, start), (36 * k, rows_n * nxp))
+        cur_l = jax.lax.dynamic_slice(lo, (z, start), (36 * k, rows_n * nxp))
+        s_, e_ = two_sum(cur_h, acc_h)
+        e_ = e_ + (cur_l + acc_l)
+        n_h, n_l = two_sum(s_, e_)
+        hi = jax.lax.dynamic_update_slice(hi, n_h, (z, start))
+        lo = jax.lax.dynamic_update_slice(lo, n_l, (z, start))
+        return hi, lo
+
+    fn = jax.jit(step, donate_argnums=(0, 1))
+    _GRID_STEP_CACHE[key] = fn
+    return fn
+
+
+def assemble_grid_df(
+    grid,  # mg.GridInfo
+    coords64: np.ndarray,  # [nyp*nxp, 3] f64 host coords
+    free_t32,  # [6, Npad] f32 (1 = free)
+    offsets,
+    npad: int,
+    kernel_fn,
+    strip_rows: Optional[int] = None,
+    eager: bool = False,
+) -> DF:
+    """BC-constrained df operator values (hi, lo), flat [36K, Npad] f32 —
+    same layout/semantics as ops/soa.py:assemble_soa_df, built without
+    scatter or emulated f64. ``kernel_fn`` maps DF xyz [m,3,E] to the
+    batched element stiffness (vmapped tri/quad kernel, see
+    large.py:_grid_kernel_fn). ``eager=True`` skips the per-strip jit —
+    CPU tests only (CPU jit FMA-contracts the EFTs, ops/df.py)."""
+    nyp, nxp = grid.nyp, grid.nxp
+    nx, ny = nxp - 1, nyp - 1
+    k = len(offsets)
+    offsets = tuple(int(o) for o in offsets)
+
+    c64 = np.asarray(coords64, np.float64).reshape(nyp, nxp, 3).transpose(2, 0, 1)
+    ch = c64.astype(np.float32)
+    cl = (c64 - ch.astype(np.float64)).astype(np.float32)
+
+    free_grid = np.asarray(free_t32, np.float32)[:, : nyp * nxp].reshape(6, nyp, nxp)
+    free_pad = np.pad(free_grid, ((0, 0), (1, 1), (1, 1)))
+
+    if strip_rows is None:
+        strip_rows = max(1, min(ny, 65536 // max(nx, 1)))
+
+    hi = jnp.zeros((36 * k, npad), jnp.float32)
+    lo = jnp.zeros((36 * k, npad), jnp.float32)
+    ch_j, cl_j = jnp.asarray(ch), jnp.asarray(cl)
+    fp_j = jnp.asarray(free_pad)
+
+    r0 = 0
+    while r0 < ny:
+        rows_e = min(strip_rows, ny - r0)
+        step = _make_grid_step(
+            kernel_fn, grid.elem_type, grid.ul_lr, rows_e, nx, nxp, k, offsets, npad
+        )
+        if eager:
+            step = step.__wrapped__
+        hi, lo = step(hi, lo, ch_j, cl_j, fp_j, jnp.asarray(r0, jnp.int32))
+        r0 += rows_e
+
+    from fem_shell_tpu.ops.soa import add_unit_diagonal_df
+
+    free32 = jnp.asarray(np.asarray(free_t32, np.float32))
+    if eager:
+        hi = add_unit_diagonal_df(hi, free32, offsets, k)
+    else:
+        hi = jax.jit(add_unit_diagonal_df, static_argnums=(2, 3), donate_argnums=0)(
+            hi, free32, tuple(offsets), k
+        )
+    return DF(hi, lo)

@@ -41,9 +41,54 @@ import jax.numpy as jnp
 import numpy as np
 from jax.extend.core import Literal as _Literal
 
-from fem_shell_tpu.ops.df import DF, fast_two_sum, two_prod, two_sum
+from fem_shell_tpu.ops.df import DF
 
 _F32 = jnp.float32
+
+# ----------------------------------------------------------------------
+# Error-free transforms, MINIMALLY barriered.
+#
+# ops/df.py wraps every EFT operand AND intermediate in
+# jax.lax.optimization_barrier. Each barrier is an HLO fusion boundary;
+# at ~3 barriers per df op and ~10 df ops per original f64 op, the
+# interpreted kernels shatter into thousands of tiny fusions (measured:
+# quad df kernels 0.106 Melem/s fully barriered vs 0.49 barrier-free).
+#
+# On-device bisection (tools/tri_bisect*.py) shows exactly ONE rewrite
+# hazard on the current XLA/TPU toolchain: expressions built on an
+# unprotected rounded sum s = a + b get algebraically simplified inside
+# large fused graphs (the Specht plate kernel lost 6 decimal digits;
+# Dekker two_prod chains were never rewritten). A single barrier on s
+# restores full eps49 behavior (tri plate entry error 4.3e-15 of scale)
+# while keeping the fusion regions large. Regression guards: the
+# on-device kernel parity test (tests/test_dfk.py TPU-gated) and the
+# bench golden check.
+# ----------------------------------------------------------------------
+
+_SPLITTER = jnp.float32(4097.0)  # 2^12 + 1, Dekker f32 splitting
+_ob = jax.lax.optimization_barrier
+
+
+def two_sum(a, b):
+    s = _ob(a + b)
+    bb = s - a
+    return s, (a - (s - bb)) + (b - bb)
+
+
+def fast_two_sum(a, b):
+    s = _ob(a + b)
+    return s, b - (s - a)
+
+
+def two_prod(a, b):
+    p = a * b
+    c = _SPLITTER * a
+    ah = c - (c - a)
+    al = a - ah
+    d = _SPLITTER * b
+    bh = d - (d - b)
+    bl = b - bh
+    return p, ((ah * bh - p) + ah * bl + al * bh) + al * bl
 
 
 # ----------------------------------------------------------------------
@@ -181,10 +226,21 @@ def d_reduce_sum(x: DF, axes: Sequence[int]) -> DF:
     return x
 
 
+def _split(x):
+    """Dekker split of an f32 array into (head, tail)."""
+    c = _SPLITTER * x
+    h = c - (c - x)
+    return h, x - h
+
+
 def d_dot_general(a: DF, b: DF, dimension_numbers) -> DF:
     """df dot_general: explicit (static, small) contraction loop of
     df multiply-adds. Output dims follow lax.dot_general: batch dims,
-    then lhs free dims, then rhs free dims."""
+    then lhs free dims, then rhs free dims.
+
+    The Dekker splits of both factors are computed on the UNBROADCAST
+    [B,M,1]/[B,1,N] operands — recomputing them per broadcast output
+    element would roughly double the dot's flop count."""
     (lc, rc), (lb, rb) = dimension_numbers
     lc, rc, lb, rb = map(tuple, (lc, rc, lb, rb))
     a_free = [d for d in range(a.hi.ndim) if d not in lc + lb]
@@ -202,13 +258,21 @@ def d_dot_general(a: DF, b: DF, dimension_numbers) -> DF:
 
     ac, bsh, a_fsh = canon(a, lb, a_free, lc)
     bc, _, b_fsh = canon(b, rb, b_free, rc)
+    ah_h, ah_t = _split(ac.hi)
+    bh_h, bh_t = _split(bc.hi)
     n_contract = ac.hi.shape[2]
     acc = None
     for c in range(n_contract):
-        term = d_mul(
-            DF(ac.hi[:, :, None, c], ac.lo[:, :, None, c]),
-            DF(bc.hi[:, None, :, c], bc.lo[:, None, :, c]),
-        )
+        xh = ac.hi[:, :, None, c]
+        yh = bc.hi[:, None, :, c]
+        p = xh * yh
+        err = (
+            (ah_h[:, :, None, c] * bh_h[:, None, :, c] - p)
+            + ah_h[:, :, None, c] * bh_t[:, None, :, c]
+            + ah_t[:, :, None, c] * bh_h[:, None, :, c]
+        ) + ah_t[:, :, None, c] * bh_t[:, None, :, c]
+        err = err + (xh * bc.lo[:, None, :, c] + ac.lo[:, :, None, c] * yh)
+        term = DF(*fast_two_sum(p, err))
         acc = term if acc is None else d_add(acc, term)
     out_shape = tuple(bsh) + tuple(a_fsh) + tuple(b_fsh)
     return DF(acc.hi.reshape(out_shape), acc.lo.reshape(out_shape))

@@ -1,0 +1,252 @@
+"""Pallas TPU kernel: df (two-float32) stencil block-SpMV.
+
+The outer CG loop of the production MG-df solver does ONE df matvec per
+iteration over the [36K, Npad] hi/lo operator pair (ops/df.py:
+df_stencil_matvec). The XLA implementation measures ~69 GB/s on v5e —
+every error-free transform is wrapped in optimization_barrier, which is
+an HLO fusion boundary, so the contraction shatters into hundreds of
+small passes. Inside a Pallas kernel the EFT sequences compile to
+straight-line Mosaic vector code with VMEM-resident intermediates: one
+streaming pass over the pair.
+
+Layout mirrors ops/pallas_spmv.py's tile-contiguous variant, with hi
+and lo as SEPARATE tile-major arrays [ntiles, 36K, r, 128]
+(prepare_tiled_values_df) — the hi array then doubles as the f32
+V-cycle smoother's operator (stencil_spmv_pallas_tiled) with no
+relayout or copy. x is carried as hi/lo stacked [16, nr+2hr, 128]
+halo-padded rows.
+
+Accumulation is full df: Dekker two_prod per hi*hi term, cross terms
+folded into the error channel, renormalized two_sum add per term —
+identical error behavior to the XLA path (parity-tested in interpret
+mode and on device; a toolchain that started FMA-contracting across the
+EFT expressions would fail those tests immediately).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from fem_shell_tpu.ops.df import DF
+from fem_shell_tpu.ops.pallas_spmv import LANES, _ceil_to, choose_r_tile
+
+# numpy scalar, NOT a jax array: pallas_call rejects captured tracers
+_SPLIT = np.float32(4097.0)
+
+
+def _two_sum(a, b):
+    s = a + b
+    bb = s - a
+    return s, (a - (s - bb)) + (b - bb)
+
+
+def _two_prod(a, b):
+    p = a * b
+    c = _SPLIT * a
+    ah = c - (c - a)
+    al = a - ah
+    d = _SPLIT * b
+    bh = d - (d - b)
+    bl = b - bh
+    return p, ((ah * bh - p) + ah * bl + al * bh) + al * bl
+
+
+def prepare_tiled_values_df(values: DF, r_tile: int = 32) -> Tuple[jnp.ndarray, jnp.ndarray, int]:
+    """(hi, lo) flat [36K, Npad] -> two tile-major [ntiles, 36K, r, 128]
+    arrays + r. hi_tiled is directly usable by stencil_spmv_pallas_tiled."""
+    rows36k, npad = values.hi.shape
+    r = choose_r_tile(npad, r_tile)
+    nr = npad // LANES
+
+    def tile(v):
+        return jnp.transpose(v.reshape(rows36k, nr // r, r, LANES), (1, 0, 2, 3))
+
+    return tile(values.hi), tile(values.lo), r
+
+
+def _kernel(offsets, k, r_tile, hr, x_hbm, vh_ref, vl_ref, out_ref, x_vmem, sem, tiled=True):
+    i = pl.program_id(0)
+    n_tiles = pl.num_programs(0)
+    win_rows = r_tile + 2 * hr
+    two = jnp.int32(2)  # avoid int64 promotion under x64 (see pallas_spmv.py)
+
+    def window_dma(slot, tile):
+        return pltpu.make_async_copy(
+            x_hbm.at[:, pl.ds(tile * r_tile, win_rows), :],
+            x_vmem.at[slot],
+            sem.at[slot],
+        )
+
+    @pl.when(i == 0)
+    def _():
+        window_dma(jnp.int32(0), 0).start()
+
+    cur = jax.lax.rem(i, two)
+
+    @pl.when(i + 1 < n_tiles)
+    def _():
+        window_dma(jax.lax.rem(i + 1, two), i + 1).start()
+
+    window_dma(cur, i).wait()
+
+    # shifted x windows (hi rows 0..5, lo rows 8..13 of the 16-sublane pad)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (16, r_tile, LANES), 2)
+    slabs = []
+    for s, off in enumerate(offsets):
+        q, m = divmod(off + hr * LANES, LANES)
+        if m == 0:
+            slabs.append(x_vmem[cur, :, q : q + r_tile, :])
+        else:
+            a_rows = pltpu.roll(
+                x_vmem[cur, :, q : q + r_tile, :], jnp.int32(LANES - m), 2
+            )
+            b_rows = pltpu.roll(
+                x_vmem[cur, :, q + 1 : q + 1 + r_tile, :], jnp.int32(LANES - m), 2
+            )
+            slabs.append(jnp.where(lane < LANES - m, a_rows, b_rows))
+
+    for a in range(6):
+        acc_h = jnp.zeros((r_tile, LANES), jnp.float32)
+        acc_l = jnp.zeros((r_tile, LANES), jnp.float32)
+        for s in range(len(offsets)):
+            slab = slabs[s]
+            for b in range(6):
+                if tiled:
+                    vh = vh_ref[0, (a * 6 + b) * k + s, :, :]
+                    vl = vl_ref[0, (a * 6 + b) * k + s, :, :]
+                else:
+                    vh = vh_ref[(a * 6 + b) * k + s, :, :]
+                    vl = vl_ref[(a * 6 + b) * k + s, :, :]
+                xh = slab[b]
+                xl = slab[8 + b]
+                p, pe = _two_prod(vh, xh)
+                pe = pe + (vh * xl + vl * xh)
+                # renormalized df add of (p, pe) into (acc_h, acc_l)
+                sh, se = _two_sum(acc_h, p)
+                se = se + (acc_l + pe)
+                acc_h, acc_l = _two_sum(sh, se)
+        out_ref[0, a, :, :] = acc_h
+        out_ref[1, a, :, :] = acc_l
+
+
+def stencil_spmv_pallas_df(
+    vh_tiled, vl_tiled, x: DF, offsets: Sequence[int], interpret: bool = False
+) -> DF:
+    """y = A x with A the tile-major df pair (prepare_tiled_values_df)
+    and x, y df vectors [6, Npad]."""
+    ntiles, rows36k, r_tile, _ = vh_tiled.shape
+    offsets = tuple(int(o) for o in offsets)
+    k = len(offsets)
+    assert rows36k == 36 * k and vl_tiled.shape == vh_tiled.shape
+    npad = ntiles * r_tile * LANES
+    nr = npad // LANES
+    halo = max(abs(offsets[0]), abs(offsets[-1]))
+    hr = _ceil_to(_ceil_to(halo, LANES) // LANES + 1, 8)
+
+    # x window: [16, nr + 2hr, 128] — hi in rows 0..5, lo in rows 8..13
+    def rows3(v):
+        return v.reshape(6, nr, LANES)
+
+    x2 = jnp.concatenate(
+        [
+            jnp.pad(rows3(x.hi), ((0, 2), (hr, hr), (0, 0))),
+            jnp.pad(rows3(x.lo), ((0, 2), (hr, hr), (0, 0))),
+        ],
+        axis=0,
+    )
+
+    kernel = functools.partial(_kernel, offsets, k, r_tile, hr)
+    y2 = pl.pallas_call(
+        kernel,
+        grid=(ntiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(
+                (1, 36 * k, r_tile, LANES),
+                lambda i: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 36 * k, r_tile, LANES),
+                lambda i: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (2, 6, r_tile, LANES), lambda i: (0, 0, i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((2, 6, nr, LANES), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, 16, r_tile + 2 * hr, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(x2, vh_tiled, vl_tiled)
+    return DF(y2[0].reshape(6, npad), y2[1].reshape(6, npad))
+
+
+def stencil_spmv_pallas_df_flat(
+    values: DF, x: DF, offsets: Sequence[int], r_tile: int = 32, interpret: bool = False
+) -> DF:
+    """y = A x with A the FLAT df pair [36K, Npad] — no tile-major
+    relayout. The tiled variant streams one contiguous block per grid
+    step; this one reads 36K strided row segments per tile, which costs
+    some bandwidth but avoids materializing a second copy of the pair
+    (prohibitive at the multi-million-node scale: the pair is most of
+    HBM)."""
+    rows36k, npad = values.hi.shape
+    offsets = tuple(int(o) for o in offsets)
+    k = len(offsets)
+    assert rows36k == 36 * k and npad % LANES == 0
+    r_tile = choose_r_tile(npad, r_tile)
+    nr = npad // LANES
+    halo = max(abs(offsets[0]), abs(offsets[-1]))
+    hr = _ceil_to(_ceil_to(halo, LANES) // LANES + 1, 8)
+
+    def rows3(v):
+        return v.reshape(6, nr, LANES)
+
+    x2 = jnp.concatenate(
+        [
+            jnp.pad(rows3(x.hi), ((0, 2), (hr, hr), (0, 0))),
+            jnp.pad(rows3(x.lo), ((0, 2), (hr, hr), (0, 0))),
+        ],
+        axis=0,
+    )
+    vh3 = values.hi.reshape(36 * k, nr, LANES)
+    vl3 = values.lo.reshape(36 * k, nr, LANES)
+
+    kernel = functools.partial(_kernel_flat, offsets, k, r_tile, hr)
+    y2 = pl.pallas_call(
+        kernel,
+        grid=(nr // r_tile,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(
+                (36 * k, r_tile, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (36 * k, r_tile, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (2, 6, r_tile, LANES), lambda i: (0, 0, i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((2, 6, nr, LANES), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, 16, r_tile + 2 * hr, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(x2, vh3, vl3)
+    return DF(y2[0].reshape(6, npad), y2[1].reshape(6, npad))
+
+
+def _kernel_flat(offsets, k, r_tile, hr, x_hbm, vh_ref, vl_ref, out_ref, x_vmem, sem):
+    _kernel(offsets, k, r_tile, hr, x_hbm, vh_ref, vl_ref, out_ref, x_vmem, sem, tiled=False)

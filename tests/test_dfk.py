@@ -120,3 +120,92 @@ def test_df_function_integer_args_pass_through():
     idx = np.array([2, 0, 7], np.int32)
     (out,) = df_function(g)(d_from_f64(x64), jnp.asarray(idx))
     assert _relerr(out, x64[idx] * 2.0) < 1e-14
+
+
+_TPU_PARITY_SCRIPT = r"""
+import os, sys
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+import jax
+jax.config.update("jax_enable_x64", True)
+import jax.numpy as jnp
+import numpy as np
+if jax.devices()[0].platform == "cpu":
+    print("SKIP: no accelerator")
+    raise SystemExit(0)
+from fem_shell_tpu.materials import Material
+from fem_shell_tpu.ops.dfk import d_from_f64, df_function
+from fem_shell_tpu.ops.elements import quad_shell_stiffness, tri_shell_stiffness
+
+MAT = Material(nu=0.3, em=1e7, thickness=0.5)
+dm, dp = (np.asarray(a, np.float64) for a in MAT.matrices())
+for name, m in (("quad", 4), ("tri", 3)):
+    ref = np.load(f"/tmp/dfk_parity_{name}_ref.npy")
+    xyz_t = np.load(f"/tmp/dfk_parity_{name}_xyz.npy")
+    fn = quad_shell_stiffness if m == 4 else tri_shell_stiffness
+    f = jax.vmap(lambda p: fn(p, jnp.asarray(dm), jnp.asarray(dp), MAT.thickness),
+                 in_axes=2, out_axes=2)
+    dfn = df_function(f)
+    jf = jax.jit(lambda x: dfn(x)[0])
+    with jax.default_matmul_precision("highest"):
+        got = jf(d_from_f64(xyz_t))
+    g = np.asarray(got.hi, np.float64) + np.asarray(got.lo, np.float64)
+    err = np.abs(g - ref).max() / np.abs(ref).max()
+    print(f"{name}: rel err {err:.3e}")
+    assert err < 1e-12, f"{name} df kernel drift on device: {err} (EFT rewrite?)"
+print("OK")
+"""
+
+
+@pytest.mark.slow
+def test_dfk_tpu_kernel_parity_on_device():
+    """Jitted-on-TPU df kernels vs CPU f64 — guards the EFT rewrite
+    hazard (an XLA toolchain that re-simplifies the protected two_sum
+    would silently lose ~6 digits; bisected in tools/tri_bisect*.py)."""
+    import os
+    import subprocess
+    import sys as _sys
+
+    from fem_shell_tpu.ops.elements import quad_shell_stiffness, tri_shell_stiffness
+
+    dm, dp = (np.asarray(a, np.float64) for a in MAT.matrices())
+    rng = np.random.default_rng(3)
+    for name, fn, m in (("quad", quad_shell_stiffness, 4), ("tri", tri_shell_stiffness, 3)):
+        corners = (
+            np.array([[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]], np.float64)
+            if m == 4
+            else np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float64)
+        )
+        xyz = rng.normal(size=(64, 1, 3)) * 5 + corners[None] + 0.1 * rng.normal(size=(64, m, 3))
+        xyz_t = np.ascontiguousarray(xyz.transpose(1, 2, 0))
+        f = jax.jit(
+            jax.vmap(
+                lambda p: fn(p, jnp.asarray(dm), jnp.asarray(dp), MAT.thickness),
+                in_axes=2,
+                out_axes=2,
+            )
+        )
+        np.save(f"/tmp/dfk_parity_{name}_ref.npy", np.asarray(f(jnp.asarray(xyz_t))))
+        np.save(f"/tmp/dfk_parity_{name}_xyz.npy", xyz_t)
+
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    # NB: do NOT add the repo via PYTHONPATH — on this box a PYTHONPATH
+    # entry breaks the axon TPU plugin registration. cwd + `-c` puts the
+    # repo on sys.path already.
+    env.pop("PYTHONPATH", None)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        out = subprocess.run(
+            [_sys.executable, "-c", _TPU_PARITY_SCRIPT],
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=1200,
+            cwd=repo,
+        )
+    except subprocess.TimeoutExpired:
+        pytest.skip("TPU busy/unreachable (timeout)")
+    if "SKIP" in out.stdout:
+        pytest.skip("no accelerator in subprocess")
+    assert out.returncode == 0, f"stdout:\n{out.stdout}\nstderr:\n{out.stderr[-2000:]}"
+    assert "OK" in out.stdout

@@ -122,8 +122,10 @@ def test_pallas_tpu_parity_on_device():
     session pins CPU; the remote TPU is single-client)."""
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
+    # NB: a PYTHONPATH entry breaks the axon TPU plugin registration on
+    # this box; cwd + `-c` puts the repo on sys.path instead.
+    env.pop("PYTHONPATH", None)
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
     try:
         out = subprocess.run(
             [sys.executable, "-c", _TPU_PARITY_SCRIPT],
@@ -131,6 +133,7 @@ def test_pallas_tpu_parity_on_device():
             capture_output=True,
             text=True,
             timeout=1200,
+            cwd=repo,
         )
     except subprocess.TimeoutExpired:
         pytest.skip("TPU busy/unreachable (timeout)")
@@ -138,3 +141,56 @@ def test_pallas_tpu_parity_on_device():
         pytest.skip("no accelerator in subprocess")
     assert out.returncode == 0, f"stdout:\n{out.stdout}\nstderr:\n{out.stderr[-2000:]}"
     assert "OK" in out.stdout
+
+
+def test_pallas_df_interpret_matches_xla_df():
+    """df (two-f32) Pallas kernel vs the XLA df matvec, interpret mode.
+    Both run EAGERLY (no jit): CPU jit FMA-contracts the EFTs (ops/df.py)."""
+    from fem_shell_tpu.ops.df import DF, df_stencil_matvec
+    from fem_shell_tpu.ops.pallas_spmv_df import (
+        prepare_tiled_values_df,
+        stencil_spmv_pallas_df,
+    )
+
+    sys64, _ = _operator("q", 16)
+    import jax.numpy as jnp2
+
+    s = LargeShellSystem(sys64.mesh, MAT, dtype=jnp2.float64, chunk=64)
+    pair = s.assemble_df(strip_nodes=512, chunk=64)
+    npad = s.pattern.n_pad
+    rng = np.random.default_rng(9)
+    x = DF(
+        jnp.asarray(rng.normal(size=(6, npad)), jnp.float32),
+        jnp.asarray(rng.normal(size=(6, npad)) * 1e-8, jnp.float32),
+    )
+    ref = df_stencil_matvec(pair, x, s.offsets)
+    vh_t, vl_t, _ = prepare_tiled_values_df(pair)
+    got = stencil_spmv_pallas_df(vh_t, vl_t, x, s.offsets, interpret=True)
+    r64 = np.asarray(ref.hi, np.float64) + np.asarray(ref.lo, np.float64)
+    g64 = np.asarray(got.hi, np.float64) + np.asarray(got.lo, np.float64)
+    scale = np.abs(r64).max()
+    assert np.abs(g64 - r64).max() < 1e-13 * scale
+
+
+def test_pallas_df_flat_interpret_matches_xla_df():
+    """Flat-layout df Pallas kernel (no tile relayout) parity, interpret
+    mode / eager (see CPU FMA caveat)."""
+    from fem_shell_tpu.ops.df import DF, df_stencil_matvec
+    from fem_shell_tpu.ops.pallas_spmv_df import stencil_spmv_pallas_df_flat
+
+    import jax.numpy as jnp2
+
+    sys64, _ = _operator("q", 16)
+    s = LargeShellSystem(sys64.mesh, MAT, dtype=jnp2.float64, chunk=64)
+    pair = s.assemble_df(strip_nodes=512, chunk=64)
+    npad = s.pattern.n_pad
+    rng = np.random.default_rng(11)
+    x = DF(
+        jnp.asarray(rng.normal(size=(6, npad)), jnp.float32),
+        jnp.asarray(rng.normal(size=(6, npad)) * 1e-8, jnp.float32),
+    )
+    ref = df_stencil_matvec(pair, x, s.offsets)
+    got = stencil_spmv_pallas_df_flat(pair, x, s.offsets, interpret=True)
+    r64 = np.asarray(ref.hi, np.float64) + np.asarray(ref.lo, np.float64)
+    g64 = np.asarray(got.hi, np.float64) + np.asarray(got.lo, np.float64)
+    assert np.abs(g64 - r64).max() < 1e-13 * np.abs(r64).max()
