@@ -35,6 +35,13 @@ from jax.experimental.pallas import tpu as pltpu
 LANES = 128
 
 
+def _z():
+    """int32 zero for BlockSpec index maps: python literals become i64
+    under jax_enable_x64 and the remote Mosaic AOT rejects the mixed
+    (i64, i32) index tuple ("failed to legalize func.return")."""
+    return jnp.int32(0)
+
+
 def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
 
@@ -130,11 +137,11 @@ def stencil_spmv_pallas(values, x, offsets: Sequence[int], r_tile: int = 32, int
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),  # x2 stays in HBM, DMA'd manually
             pl.BlockSpec(
-                (36, k, r_tile, LANES), lambda i: (0, 0, i, 0), memory_space=pltpu.VMEM
+                (36, k, r_tile, LANES), lambda i: (_z(), _z(), i, _z()), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec(
-            (6, r_tile, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+            (6, r_tile, LANES), lambda i: (_z(), i, _z()), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((6, nr, LANES), x.dtype),
         scratch_shapes=[
@@ -255,12 +262,12 @@ def stencil_spmv_pallas_tiled(values_tiled, x, offsets: Sequence[int], interpret
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(
                 (1, 36 * k, r_tile, LANES),
-                lambda i: (i, 0, 0, 0),
+                lambda i: (i, _z(), _z(), _z()),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (6, r_tile, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+            (6, r_tile, LANES), lambda i: (_z(), i, _z()), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((6, nr, LANES), x.dtype),
         scratch_shapes=[

@@ -40,6 +40,13 @@ from fem_shell_tpu.ops.pallas_spmv import LANES, _ceil_to, choose_r_tile
 _SPLIT = np.float32(4097.0)
 
 
+def _z():
+    """int32 zero for BlockSpec index maps: python literals become i64
+    under jax_enable_x64 and the remote Mosaic AOT rejects the mixed
+    (i64, i32) index tuple ("failed to legalize func.return")."""
+    return jnp.int32(0)
+
+
 def _two_sum(a, b):
     s = a + b
     bb = s - a
@@ -169,17 +176,17 @@ def stencil_spmv_pallas_df(
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(
                 (1, 36 * k, r_tile, LANES),
-                lambda i: (i, 0, 0, 0),
+                lambda i: (i, _z(), _z(), _z()),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (1, 36 * k, r_tile, LANES),
-                lambda i: (i, 0, 0, 0),
+                lambda i: (i, _z(), _z(), _z()),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (2, 6, r_tile, LANES), lambda i: (0, 0, i, 0), memory_space=pltpu.VMEM
+            (2, 6, r_tile, LANES), lambda i: (_z(), _z(), i, _z()), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((2, 6, nr, LANES), jnp.float32),
         scratch_shapes=[
@@ -229,14 +236,14 @@ def stencil_spmv_pallas_df_flat(
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(
-                (36 * k, r_tile, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+                (36 * k, r_tile, LANES), lambda i: (_z(), i, _z()), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (36 * k, r_tile, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+                (36 * k, r_tile, LANES), lambda i: (_z(), i, _z()), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec(
-            (2, 6, r_tile, LANES), lambda i: (0, 0, i, 0), memory_space=pltpu.VMEM
+            (2, 6, r_tile, LANES), lambda i: (_z(), _z(), i, _z()), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((2, 6, nr, LANES), jnp.float32),
         scratch_shapes=[
