@@ -41,11 +41,15 @@ def write_vtu(
     point_data: Optional[Dict[str, np.ndarray]] = None,
     displacement: Optional[np.ndarray] = None,
     displace: bool = False,
+    cell_data: Optional[Dict[str, np.ndarray]] = None,
 ) -> None:
     """Write an XML .vtu file. ``displacement`` is the [N,6] solution; its
     translational part is exported as a 3-vector 'displacement' and the
-    rotational part as 'rotation'. ``displace=True`` moves the geometry."""
+    rotational part as 'rotation'. ``displace=True`` moves the geometry.
+    ``cell_data`` arrays are per-element in MESH element order (see
+    ops/recovery.py:to_mesh_order)."""
     point_data = dict(point_data or {})
+    cell_data = dict(cell_data or {})
     coords = mesh.coords.copy()
     if displacement is not None:
         displacement = np.asarray(displacement)
@@ -87,6 +91,18 @@ def write_vtu(
             w("          " + " ".join(f"{v:.17g}" for v in row) + "\n")
         w("        </DataArray>\n")
     w("      </PointData>\n")
+    if cell_data:
+        w("      <CellData>\n")
+        for name, arr in cell_data.items():
+            arr = np.asarray(arr)
+            if arr.ndim == 1:
+                arr = arr[:, None]
+            ncomp = arr.shape[1]
+            w(f'        <DataArray type="Float64" Name="{name}" NumberOfComponents="{ncomp}" format="ascii">\n')
+            for row in arr:
+                w("          " + " ".join(f"{v:.17g}" for v in row) + "\n")
+            w("        </DataArray>\n")
+        w("      </CellData>\n")
     w("    </Piece>\n  </UnstructuredGrid>\n</VTKFile>\n")
     with open(path, "w") as fh:
         fh.write(buf.getvalue())

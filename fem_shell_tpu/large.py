@@ -175,9 +175,9 @@ class LargeShellSystem:
         return self._strip_cache
 
     def _grid_kernel_fn(self, m: int):
-        """Batched element-stiffness fn (xyz [m,3,E] -> ke [6m,6m,E]) for
-        the df-jaxpr grid assembly; cached so the per-strip jit memoizes."""
-        key = ("_grid_kfn", m)
+        """SINGLE-ELEMENT stiffness fn (xyz [m,3] -> ke [6m,6m]) for the
+        batch-last df-jaxpr grid assembly (ops/dfk.py:df_function_bl);
+        cached so the per-strip jit memoizes."""
         fn = getattr(self, "_grid_kfns", {}).get(m)
         if fn is not None:
             return fn
@@ -188,13 +188,19 @@ class LargeShellSystem:
         dp = jnp.asarray(dp64, jnp.float64)
         t = self.thickness
         base = tri_shell_stiffness if m == 3 else quad_shell_stiffness
-        fn = jax.vmap(lambda p: base(p, dm, dp, t), in_axes=2, out_axes=2)
+        fn = lambda p: base(p, dm, dp, t)  # noqa: E731
         if not hasattr(self, "_grid_kfns"):
             self._grid_kfns = {}
         self._grid_kfns[m] = fn
         return fn
 
-    def assemble_df(self, strip_nodes: int = 65536, chunk: int = 8192, method: str = "auto"):
+    def assemble_df(
+        self,
+        strip_nodes: int = 65536,
+        chunk: int = 8192,
+        method: str = "auto",
+        layout: str = "flat",
+    ):
         """BC-constrained df operator values (hi, lo), each FLAT
         [36K, Npad] f32 (see ops/soa.py:assemble_soa_df for the layout
         and memory rationale); entrywise accurate to ~eps64.
@@ -206,6 +212,10 @@ class LargeShellSystem:
           emulated f64 anywhere;
         - ``strip`` (general meshes): emulated-f64 kernels + strip
           scatter (ops/soa.py:assemble_soa_df).
+
+        ``layout='tiled'`` returns the pair in the Pallas SpMV tile-major
+        layout [Npad/1024, 36K, 8, 128]; the grid pipeline writes it
+        DIRECTLY (no relayout copy — the pair is most of HBM at scale).
         """
         from fem_shell_tpu.ops.df import DF
 
@@ -214,7 +224,16 @@ class LargeShellSystem:
             # barrier-free EFTs (ops/df.py) — CPU keeps the strip pipeline
             # (whose "emulated f64" is native f64 there anyway)
             method = "strip"
-            if self.offsets is not None and jax.devices()[0].platform != "cpu":
+            n_elem = len(self.mesh.tri) + len(self.mesh.quad)
+            # grid pipeline wins above ~10^5 elements (27x at 1M); below
+            # that its per-strip launch overhead (the EFT barriers keep
+            # the graph in thousands of small fusions) loses to the
+            # emulated-f64 strip path, which is latency-bound anyway
+            if (
+                self.offsets is not None
+                and n_elem >= 65536
+                and jax.devices()[0].platform != "cpu"
+            ):
                 from fem_shell_tpu.mg import detect_structured_grid
 
                 grid = detect_structured_grid(self.mesh)
@@ -243,6 +262,7 @@ class LargeShellSystem:
                     # pipeline API); the grid pipeline buckets by element
                     # rows
                     strip_rows=max(1, strip_nodes // grid.nxp),
+                    layout=layout,
                 )
 
         from fem_shell_tpu.ops.soa import assemble_soa_df
@@ -260,6 +280,10 @@ class LargeShellSystem:
                 self.thickness,
                 free32,
             )
+        if layout == "tiled":
+            from fem_shell_tpu.ops.assemble_grid import tile_values
+
+            return DF(tile_values(hi), tile_values(lo))
         return DF(hi, lo)
 
     def free_strip_cache(self):

@@ -283,20 +283,25 @@ class MultigridShellSystem:
             if sys_l.offsets is None:
                 raise ValueError("multigrid requires stencil-addressable grids")
             if df_operator:
-                # every level goes through the donated strip pipeline (peak
+                # every level goes through the donated pipeline (peak
                 # memory = running levels + ONE pair); only the fine level
                 # keeps its lo part — the outer CG operator needs eps64
                 # entries, coarse levels are preconditioner-only and keep
-                # just hi (the temporary DF drops lo by refcount)
+                # just hi (the temporary DF drops lo by refcount). With
+                # Pallas on, non-coarsest levels are assembled DIRECTLY in
+                # the tile-major kernel layout (the coarsest stays flat —
+                # _densify needs it, and it never smooths).
+                layout = "tiled" if (self.use_pallas and l < n_levels - 1) else "flat"
+                pair = sys_l.assemble_df(
+                    strip_nodes=strip_nodes, chunk=min(chunk, 8192), layout=layout
+                )
                 if l == 0:
-                    self._fine_df = sys_l.assemble_df(strip_nodes=strip_nodes, chunk=min(chunk, 8192))
-                    values = self._fine_df.hi
-                else:
-                    values = sys_l.assemble_df(strip_nodes=strip_nodes, chunk=min(chunk, 8192)).hi
+                    self._fine_df = pair
+                values = pair.hi
             else:
                 values = sys_l.assemble()
             self._systems.append(sys_l)
-            diag = soa_diagonal(values, offsets=sys_l.offsets)
+            diag = self._diag_of(values, sys_l.offsets)
             lvl = _Level(
                 values=values,
                 offsets=tuple(int(o) for o in sys_l.offsets),
@@ -321,6 +326,13 @@ class MultigridShellSystem:
         self._solve_jit = jax.jit(self._solve_impl, static_argnums=(2, 3))
 
     # ------------------------------------------------------------------
+    def _diag_of(self, values, offsets):
+        if values.ndim == 4:  # tile-major Pallas layout
+            from fem_shell_tpu.ops.assemble_grid import soa_diagonal_tiled
+
+            return soa_diagonal_tiled(values, offsets)
+        return soa_diagonal(values, offsets=offsets)
+
     def reassemble(self):
         """Re-run every level's operator assembly (steady-state: all jits
         and strip plans are cached). Benchmarks use this so 'overall time'
@@ -332,19 +344,20 @@ class MultigridShellSystem:
             # pairs cannot coexist in HBM
             self.levels[l] = dataclasses.replace(self.levels[l], values=None)
             if self.df_operator:
+                layout = (
+                    "tiled" if (self.use_pallas and l < self.n_levels - 1) else "flat"
+                )
                 if l == 0:
                     self._fine_df = None
-                    self._fine_df = sys_l.assemble_df(
-                        strip_nodes=self._df_strip_nodes, chunk=self._df_chunk
-                    )
-                    values = self._fine_df.hi
-                else:
-                    values = sys_l.assemble_df(
-                        strip_nodes=self._df_strip_nodes, chunk=self._df_chunk
-                    ).hi
+                pair = sys_l.assemble_df(
+                    strip_nodes=self._df_strip_nodes, chunk=self._df_chunk, layout=layout
+                )
+                if l == 0:
+                    self._fine_df = pair
+                values = pair.hi
             else:
                 values = sys_l.assemble()
-            diag = soa_diagonal(values, offsets=sys_l.offsets)
+            diag = self._diag_of(values, sys_l.offsets)
             self.levels[l] = dataclasses.replace(
                 self.levels[l],
                 values=values,
@@ -360,8 +373,12 @@ class MultigridShellSystem:
 
     # ------------------------------------------------------------------
     def _mv(self, lvl: _Level, x):
-        """Level matvec: Pallas stencil kernel for f32 operators on a
-        real accelerator, XLA soa_matvec otherwise."""
+        """Level matvec: Pallas stencil kernel on tile-major f32
+        operators (real accelerator), XLA soa_matvec otherwise."""
+        if lvl.values.ndim == 4:  # tile-major => Pallas
+            from fem_shell_tpu.ops.pallas_spmv import stencil_spmv_pallas_tiled
+
+            return stencil_spmv_pallas_tiled(lvl.values, x, lvl.offsets)
         if self.use_pallas and lvl.values.dtype == jnp.float32:
             from fem_shell_tpu.ops.pallas_spmv import stencil_spmv_pallas
 
@@ -472,7 +489,11 @@ class MultigridShellSystem:
         from fem_shell_tpu.solver_df import pcg_df
 
         b = df_from_f64(forces_t64 * fine.free_t.astype(jnp.float64))
-        if self.use_pallas:
+        if fine_df.hi.ndim == 4:  # tile-major pair => Pallas df kernel
+            from fem_shell_tpu.ops.pallas_spmv_df import stencil_spmv_pallas_df
+
+            mv = lambda x: stencil_spmv_pallas_df(fine_df.hi, fine_df.lo, x, fine.offsets)  # noqa: E731
+        elif self.use_pallas:
             from fem_shell_tpu.ops.pallas_spmv_df import stencil_spmv_pallas_df_flat
 
             mv = lambda x: stencil_spmv_pallas_df_flat(fine_df, x, fine.offsets)  # noqa: E731

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from fem_shell_tpu.ops.df import DF
-from fem_shell_tpu.ops.dfk import d_add, df_function, two_sum
+from fem_shell_tpu.ops.dfk import d_add, df_function_bl, two_sum
 
 
 # corner (dy, dx) tables per element family, matching mg.py:_grid_conn
@@ -71,6 +71,9 @@ def grid_families(elem_type: str, ul_lr: bool, nxp: int, offsets) -> List[GridFa
 _GRID_STEP_CACHE = {}
 
 
+_TILE = 1024  # r=8 x 128 lanes — the production Pallas tile
+
+
 def _make_grid_step(
     kernel_fn,
     elem_type: str,
@@ -81,6 +84,7 @@ def _make_grid_step(
     k: int,
     offsets: Tuple[int, ...],
     npad: int,
+    tiled: bool = False,
 ):
     """One donated strip update of the flat df carry [36K, Npad].
 
@@ -94,7 +98,7 @@ def _make_grid_step(
       correct),
     - renormalized two_sum fold into the carry (donated in place).
     """
-    key = (kernel_fn, elem_type, ul_lr, rows_e, nx, nxp, k, offsets, npad)
+    key = (kernel_fn, elem_type, ul_lr, rows_e, nx, nxp, k, offsets, npad, tiled)
     if key in _GRID_STEP_CACHE:
         return _GRID_STEP_CACHE[key]
 
@@ -109,7 +113,10 @@ def _make_grid_step(
         assert abs(dx) <= 1 and abs(dy) <= 1, (o, nxp)
         off_2d.append((dy, dx))
 
-    dfn = df_function(kernel_fn)
+    # batch-last interpretation: the element axis stays on the 128 lanes
+    # of EVERY intermediate (a vmapped trace batches axis 0, whose small
+    # trailing dims tile-pad up to ~40x — the 10M-element OOM)
+    dfn = df_function_bl(kernel_fn)
 
     def step(hi, lo, ch, cl, free_pad_h, r0):
         z = jnp.zeros((), r0.dtype)
@@ -201,18 +208,63 @@ def _make_grid_step(
         acc_l = (acc_l * mask).reshape(36 * k, rows_n * nxp)
 
         start = r0 * nxp
-        cur_h = jax.lax.dynamic_slice(hi, (z, start), (36 * k, rows_n * nxp))
-        cur_l = jax.lax.dynamic_slice(lo, (z, start), (36 * k, rows_n * nxp))
-        s_, e_ = two_sum(cur_h, acc_h)
-        e_ = e_ + (cur_l + acc_l)
+        if not tiled:
+            cur_h = jax.lax.dynamic_slice(hi, (z, start), (36 * k, rows_n * nxp))
+            cur_l = jax.lax.dynamic_slice(lo, (z, start), (36 * k, rows_n * nxp))
+            s_, e_ = two_sum(cur_h, acc_h)
+            e_ = e_ + (cur_l + acc_l)
+            n_h, n_l = two_sum(s_, e_)
+            hi = jax.lax.dynamic_update_slice(hi, n_h, (z, start))
+            lo = jax.lax.dynamic_update_slice(lo, n_l, (z, start))
+            return hi, lo
+
+        # tile-major fold: hi/lo are [ntiles, 36K, 8, 128] (the Pallas
+        # production layout, ops/pallas_spmv*.py) — assembling straight
+        # into it avoids a 2x-memory relayout of the finished pair. The
+        # strip's column window [start, start+W) is re-registered into a
+        # tile-aligned buffer at dynamic offset, then df-added into the
+        # covered tile range with ONE dynamic slice/update pair.
+        w_cols = rows_n * nxp
+        ntiles = hi.shape[0]
+        # covered tiles incl. alignment slack (capped: a single strip may
+        # span the whole array, where start == 0 and no slack is needed)
+        n_t = min(-(-w_cols // _TILE) + 1, ntiles)
+        t0 = jnp.minimum(start // _TILE, jnp.asarray(ntiles - n_t, start.dtype))
+        off = start - t0 * _TILE  # in [0, n_t*_TILE - w_cols]
+
+        def align(a):
+            buf = jnp.zeros((36 * k, n_t * _TILE), jnp.float32)
+            return (
+                jax.lax.dynamic_update_slice(buf, a, (z, off))
+                .reshape(36 * k, n_t, 8, 128)
+                .transpose(1, 0, 2, 3)
+            )
+
+        acc_ht = align(acc_h)
+        acc_lt = align(acc_l)
+        cur_h = jax.lax.dynamic_slice(hi, (t0, z, z, z), (n_t, 36 * k, 8, 128))
+        cur_l = jax.lax.dynamic_slice(lo, (t0, z, z, z), (n_t, 36 * k, 8, 128))
+        s_, e_ = two_sum(cur_h, acc_ht)
+        e_ = e_ + (cur_l + acc_lt)
         n_h, n_l = two_sum(s_, e_)
-        hi = jax.lax.dynamic_update_slice(hi, n_h, (z, start))
-        lo = jax.lax.dynamic_update_slice(lo, n_l, (z, start))
+        hi = jax.lax.dynamic_update_slice(hi, n_h, (t0, z, z, z))
+        lo = jax.lax.dynamic_update_slice(lo, n_l, (t0, z, z, z))
         return hi, lo
 
     fn = jax.jit(step, donate_argnums=(0, 1))
     _GRID_STEP_CACHE[key] = fn
     return fn
+
+
+def add_unit_diagonal_df_tiled(hi_t, free32, offsets, k):
+    """Tiled-layout variant of soa.add_unit_diagonal_df: set constrained
+    DOFs' diagonal to 1 in hi [ntiles, 36K, 8, 128] (donated)."""
+    k0 = int(np.searchsorted(np.asarray(offsets), 0))
+    ntiles = hi_t.shape[0]
+    constrained = (1.0 - free32).reshape(6, ntiles, 8, 128)
+    for a in range(6):
+        hi_t = hi_t.at[:, (a * 6 + a) * k + k0, :, :].add(constrained[a])
+    return hi_t
 
 
 def assemble_grid_df(
@@ -224,17 +276,27 @@ def assemble_grid_df(
     kernel_fn,
     strip_rows: Optional[int] = None,
     eager: bool = False,
+    layout: str = "flat",
 ) -> DF:
-    """BC-constrained df operator values (hi, lo), flat [36K, Npad] f32 —
-    same layout/semantics as ops/soa.py:assemble_soa_df, built without
-    scatter or emulated f64. ``kernel_fn`` maps DF xyz [m,3,E] to the
-    batched element stiffness (vmapped tri/quad kernel, see
-    large.py:_grid_kernel_fn). ``eager=True`` skips the per-strip jit —
-    CPU tests only (CPU jit FMA-contracts the EFTs, ops/df.py)."""
+    """BC-constrained df operator values (hi, lo) f32, built without
+    scatter or emulated f64. ``layout``:
+
+    - ``flat``  [36K, Npad] — ops/soa.py:assemble_soa_df-compatible;
+    - ``tiled`` [Npad/1024, 36K, 8, 128] — the Pallas SpMV production
+      layout (ops/pallas_spmv*.py), written DIRECTLY so the pair never
+      needs a second-copy relayout (it is most of HBM at scale).
+
+    ``kernel_fn`` maps DF xyz [m,3,E] to the batched element stiffness
+    (vmapped tri/quad kernel, see large.py:_grid_kernel_fn).
+    ``eager=True`` skips the per-strip jit — CPU tests only (CPU jit
+    FMA-contracts the EFTs, ops/df.py)."""
     nyp, nxp = grid.nyp, grid.nxp
     nx, ny = nxp - 1, nyp - 1
     k = len(offsets)
     offsets = tuple(int(o) for o in offsets)
+    tiled = layout == "tiled"
+    if tiled:
+        assert npad % _TILE == 0
 
     c64 = np.asarray(coords64, np.float64).reshape(nyp, nxp, 3).transpose(2, 0, 1)
     ch = c64.astype(np.float32)
@@ -246,8 +308,12 @@ def assemble_grid_df(
     if strip_rows is None:
         strip_rows = max(1, min(ny, 65536 // max(nx, 1)))
 
-    hi = jnp.zeros((36 * k, npad), jnp.float32)
-    lo = jnp.zeros((36 * k, npad), jnp.float32)
+    if tiled:
+        hi = jnp.zeros((npad // _TILE, 36 * k, 8, 128), jnp.float32)
+        lo = jnp.zeros((npad // _TILE, 36 * k, 8, 128), jnp.float32)
+    else:
+        hi = jnp.zeros((36 * k, npad), jnp.float32)
+        lo = jnp.zeros((36 * k, npad), jnp.float32)
     ch_j, cl_j = jnp.asarray(ch), jnp.asarray(cl)
     fp_j = jnp.asarray(free_pad)
 
@@ -255,16 +321,26 @@ def assemble_grid_df(
     while r0 < ny:
         rows_e = min(strip_rows, ny - r0)
         step = _make_grid_step(
-            kernel_fn, grid.elem_type, grid.ul_lr, rows_e, nx, nxp, k, offsets, npad
+            kernel_fn, grid.elem_type, grid.ul_lr, rows_e, nx, nxp, k, offsets, npad,
+            tiled=tiled,
         )
         if eager:
             step = step.__wrapped__
         hi, lo = step(hi, lo, ch_j, cl_j, fp_j, jnp.asarray(r0, jnp.int32))
         r0 += rows_e
 
+    free32 = jnp.asarray(np.asarray(free_t32, np.float32))
+    if tiled:
+        if eager:
+            hi = add_unit_diagonal_df_tiled(hi, free32, offsets, k)
+        else:
+            hi = jax.jit(
+                add_unit_diagonal_df_tiled, static_argnums=(2, 3), donate_argnums=0
+            )(hi, free32, tuple(offsets), k)
+        return DF(hi, lo)
+
     from fem_shell_tpu.ops.soa import add_unit_diagonal_df
 
-    free32 = jnp.asarray(np.asarray(free_t32, np.float32))
     if eager:
         hi = add_unit_diagonal_df(hi, free32, offsets, k)
     else:
@@ -272,3 +348,27 @@ def assemble_grid_df(
             hi, free32, tuple(offsets), k
         )
     return DF(hi, lo)
+
+
+def soa_diagonal_tiled(values_t, offsets):
+    """[6, Npad] diagonal from tiled values [ntiles, 36K, 8, 128]."""
+    k = len(offsets)
+    k0 = int(np.searchsorted(np.asarray(offsets), 0))
+    rows = [(a * 6 + a) * k + k0 for a in range(6)]
+    d = values_t[:, jnp.asarray(rows)]  # [ntiles, 6, 8, 128]
+    return jnp.transpose(d, (1, 0, 2, 3)).reshape(6, -1)
+
+
+def tile_values(values_flat):
+    """[36K, Npad] -> [Npad/1024, 36K, 8, 128] (copies; use the direct
+    tiled assembly at scale)."""
+    rows, npad = values_flat.shape
+    return jnp.transpose(
+        values_flat.reshape(rows, npad // _TILE, 8, 128), (1, 0, 2, 3)
+    )
+
+
+def untile_values(values_t):
+    """[ntiles, 36K, 8, 128] -> [36K, Npad]."""
+    nt, rows, _, _ = values_t.shape
+    return jnp.transpose(values_t, (1, 0, 2, 3)).reshape(rows, nt * _TILE)

@@ -517,3 +517,415 @@ class DfFunction:
 
 def df_function(fn) -> DfFunction:
     return DfFunction(fn)
+
+
+# ======================================================================
+# Batch-last interpretation: re-execute the UNBATCHED kernel jaxpr with
+# every float value carrying a TRAILING element axis.
+#
+# jax.vmap puts the batch axis FIRST on intermediates, so the df-
+# interpreted batched kernels materialize [E, 3, 3]-shaped temporaries
+# whose trailing dims tile-pad up to ~40x on TPU ((8,128) tiling) —
+# measured: a [4.2M, 12, 12] f32 temp allocated 25.7 GB and OOMed the
+# 10M-element assembly. Interpreting the SINGLE-ELEMENT jaxpr with a
+# trailing E axis keeps elements on the 128-lane axis of every
+# intermediate: [3, 3, E] pads ~2.7x on sublanes only.
+#
+# Invariants:
+# - float values: DF pairs shaped logical_shape + (E,) (constants carry
+#   trailing 1 and broadcast on use);
+# - integer/bool values: UNBATCHED logical shapes (index computation is
+#   element-independent). A comparison of DF values would produce a
+#   batched bool — unsupported (asserted); the element kernels have none
+#   (their lt/select_n traffic is integer index clamping).
+# ======================================================================
+
+
+def _bl_E(vals):
+    e = 1
+    for v in vals:
+        if isinstance(v, DF):
+            e = max(e, v.hi.shape[-1])
+    return e
+
+
+def _bl_bcast(v: DF, e: int) -> DF:
+    if v.hi.shape[-1] == e:
+        return v
+    shape = v.hi.shape[:-1] + (e,)
+    return DF(jnp.broadcast_to(v.hi, shape), jnp.broadcast_to(v.lo, shape))
+
+
+def _bl_movement(fn):
+    """Lift a (params-adjusted) movement op over the DF pair."""
+
+    def apply(v: DF, *args, **kw):
+        return DF(fn(v.hi, *args, **kw), fn(v.lo, *args, **kw))
+
+    return apply
+
+
+def _bl_rule_broadcast(eqn, x):
+    p = eqn.params
+    if not isinstance(x, DF):
+        return eqn.primitive.bind(x, **p)
+    shape = tuple(p["shape"]) + (x.hi.shape[-1],)
+    bd = tuple(p["broadcast_dimensions"]) + (len(p["shape"]),)
+    return _bl_movement(
+        lambda a: jax.lax.broadcast_in_dim(a, shape, bd)
+    )(x)
+
+
+def _bl_rule_reshape(eqn, x):
+    p = eqn.params
+    if not isinstance(x, DF):
+        return eqn.primitive.bind(x, **p)
+    if p.get("dimensions") is not None:
+        raise NotImplementedError("reshape with dimensions in batch-last mode")
+    new = tuple(p["new_sizes"]) + (x.hi.shape[-1],)
+    return _bl_movement(lambda a: jax.lax.reshape(a, new))(x)
+
+
+def _bl_rule_transpose(eqn, x):
+    p = eqn.params
+    if not isinstance(x, DF):
+        return eqn.primitive.bind(x, **p)
+    perm = tuple(p["permutation"]) + (x.hi.ndim - 1,)
+    return _bl_movement(lambda a: jax.lax.transpose(a, perm))(x)
+
+
+def _bl_rule_slice(eqn, x):
+    p = eqn.params
+    if not isinstance(x, DF):
+        return eqn.primitive.bind(x, **p)
+    e = x.hi.shape[-1]
+    start = tuple(p["start_indices"]) + (0,)
+    limit = tuple(p["limit_indices"]) + (e,)
+    strides = p["strides"]
+    strides = (tuple(strides) + (1,)) if strides is not None else None
+    return _bl_movement(lambda a: jax.lax.slice(a, start, limit, strides))(x)
+
+
+def _bl_rule_squeeze(eqn, x):
+    p = eqn.params
+    if not isinstance(x, DF):
+        return eqn.primitive.bind(x, **p)
+    return _bl_movement(lambda a: jax.lax.squeeze(a, p["dimensions"]))(x)
+
+
+def _bl_rule_concat(eqn, *vals):
+    p = eqn.params
+    if not any(isinstance(v, DF) for v in vals):
+        return eqn.primitive.bind(*vals, **p)
+    e = _bl_E(vals)
+    vs = [
+        _bl_bcast(v, e)
+        if isinstance(v, DF)
+        else DF(
+            jnp.broadcast_to(v.astype(_F32)[..., None], v.shape + (e,)),
+            jnp.zeros(v.shape + (e,), _F32),
+        )
+        for v in vals
+    ]
+    d = p["dimension"]
+    return DF(
+        jax.lax.concatenate([v.hi for v in vs], d),
+        jax.lax.concatenate([v.lo for v in vs], d),
+    )
+
+
+def _bl_rule_gather(eqn, operand, indices):
+    p = eqn.params
+    if not isinstance(operand, DF):
+        return eqn.primitive.bind(operand, indices, **p)
+    dn = p["dimension_numbers"]
+    e = operand.hi.shape[-1]
+    out_logical_rank = len(eqn.outvars[0].aval.shape)
+    new_dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=tuple(dn.offset_dims) + (out_logical_rank,),
+        collapsed_slice_dims=tuple(dn.collapsed_slice_dims),
+        start_index_map=tuple(dn.start_index_map),
+    )
+    sizes = tuple(p["slice_sizes"]) + (e,)
+
+    def g(a):
+        return jax.lax.gather(
+            a,
+            indices,
+            new_dn,
+            sizes,
+            indices_are_sorted=p["indices_are_sorted"],
+            unique_indices=p["unique_indices"],
+            mode=p["mode"],
+        )
+
+    return _bl_movement(g)(operand)
+
+
+def _bl_rule_scatter(eqn, operand, indices, updates):
+    p = eqn.params
+    if not isinstance(operand, DF) and not isinstance(updates, DF):
+        return _rule_scatter(eqn, operand, indices, updates)
+    e = _bl_E([v for v in (operand, updates) if isinstance(v, DF)])
+    if not isinstance(operand, DF):
+        operand = DF(
+            jnp.broadcast_to(operand.astype(_F32)[..., None], operand.shape + (e,)),
+            jnp.zeros(operand.shape + (e,), _F32),
+        )
+    operand = _bl_bcast(operand, e)
+    if not isinstance(updates, DF):
+        updates = DF(
+            jnp.broadcast_to(updates.astype(_F32)[..., None], updates.shape + (e,)),
+            jnp.zeros(updates.shape + (e,), _F32),
+        )
+    updates = _bl_bcast(updates, e)
+    dn = p["dimension_numbers"]
+    new_dn = jax.lax.ScatterDimensionNumbers(
+        update_window_dims=tuple(dn.update_window_dims) + (updates.hi.ndim - 1,),
+        inserted_window_dims=tuple(dn.inserted_window_dims),
+        scatter_dims_to_operand_dims=tuple(dn.scatter_dims_to_operand_dims),
+    )
+
+    def sc(a, u):
+        return jax.lax.scatter(
+            a,
+            indices,
+            u,
+            new_dn,
+            indices_are_sorted=p["indices_are_sorted"],
+            unique_indices=p["unique_indices"],
+            mode=p["mode"],
+        )
+
+    return DF(sc(operand.hi, updates.hi), sc(operand.lo, updates.lo))
+
+
+def _bl_rule_select_n(eqn, pred, *cases):
+    if not any(isinstance(c, DF) for c in cases):
+        return eqn.primitive.bind(pred, *cases, **eqn.params)
+    if isinstance(pred, DF) or (
+        hasattr(pred, "ndim") and cases and isinstance(cases[0], DF) and pred.ndim == cases[0].hi.ndim
+    ):
+        raise NotImplementedError("batched predicate in batch-last mode")
+    e = _bl_E(cases)
+    cs = [
+        _bl_bcast(c, e)
+        if isinstance(c, DF)
+        else DF(
+            jnp.broadcast_to(c.astype(_F32)[..., None], c.shape + (e,)),
+            jnp.zeros(c.shape + (e,), _F32),
+        )
+        for c in cases
+    ]
+    pred_b = pred[..., None]
+    return DF(
+        jax.lax.select_n(pred_b, *[jnp.broadcast_to(c.hi, c.hi.shape) for c in cs])
+        if False
+        else jnp.where(pred_b, cs[1].hi, cs[0].hi)
+        if len(cs) == 2
+        else jax.lax.select_n(jnp.broadcast_to(pred_b, cs[0].hi.shape), *[c.hi for c in cs]),
+        jnp.where(pred_b, cs[1].lo, cs[0].lo)
+        if len(cs) == 2
+        else jax.lax.select_n(jnp.broadcast_to(pred_b, cs[0].lo.shape), *[c.lo for c in cs]),
+    )
+
+
+def _bl_rule_convert(eqn, x):
+    new = eqn.params["new_dtype"]
+    if jnp.issubdtype(new, jnp.floating):
+        if isinstance(x, DF):
+            return x
+        # unbatched int -> float constant: trailing 1, broadcasts on use
+        return DF(x.astype(_F32)[..., None], jnp.zeros(x.shape + (1,), _F32))
+    if isinstance(x, DF):
+        raise NotImplementedError("float->int conversion in batch-last mode")
+    return x.astype(new)
+
+
+def _bl_rule_iota(eqn):
+    p = dict(eqn.params)
+    if jnp.issubdtype(p["dtype"], jnp.floating):
+        p["dtype"] = _F32
+        hi = eqn.primitive.bind(**p)[..., None]
+        return DF(hi, jnp.zeros_like(hi))
+    return eqn.primitive.bind(**p)
+
+
+def d_dot_general_bl(a: DF, b: DF, dimension_numbers) -> DF:
+    """Batch-last df dot_general: E rides the last axis of both operands
+    and of the output; the (tiny, static) contraction and any logical
+    batch dims are unrolled in python. Output dims follow dot_general
+    (batch, lhs free, rhs free) with E appended."""
+    import itertools
+
+    (lc, rc), (lb, rb) = dimension_numbers
+    lc, rc, lb, rb = map(tuple, (lc, rc, lb, rb))
+    na, nb_ = a.hi.ndim - 1, b.hi.ndim - 1
+    a_free = [d for d in range(na) if d not in lc + lb]
+    b_free = [d for d in range(nb_) if d not in rc + rb]
+
+    def canon(x, batch, free, contract):
+        perm = list(batch) + list(free) + list(contract) + [x.hi.ndim - 1]
+        return DF(jnp.transpose(x.hi, perm), jnp.transpose(x.lo, perm))
+
+    at = canon(a, lb, a_free, lc)
+    bt = canon(b, rb, b_free, rc)
+    csh = [a.hi.shape[d] for d in lc]
+    nbd, nfa, nfb = len(lb), len(a_free), len(b_free)
+
+    acc = None
+    for cidx in itertools.product(*[range(s) for s in csh]):
+        a_sl = at.hi[(slice(None),) * (nbd + nfa) + cidx + (slice(None),)]
+        a_sll = at.lo[(slice(None),) * (nbd + nfa) + cidx + (slice(None),)]
+        b_sl = bt.hi[(slice(None),) * (nbd + nfb) + cidx + (slice(None),)]
+        b_sll = bt.lo[(slice(None),) * (nbd + nfb) + cidx + (slice(None),)]
+        # insert singleton free axes: a -> [B.., Fa.., 1xFb.., E],
+        #                             b -> [B.., 1xFa.., Fb.., E]
+        for _ in range(nfb):
+            a_sl = jnp.expand_dims(a_sl, nbd + nfa)
+            a_sll = jnp.expand_dims(a_sll, nbd + nfa)
+        for _ in range(nfa):
+            b_sl = jnp.expand_dims(b_sl, nbd)
+            b_sll = jnp.expand_dims(b_sll, nbd)
+        term = d_mul(DF(a_sl, a_sll), DF(b_sl, b_sll))
+        acc = term if acc is None else d_add(acc, term)
+    return acc
+
+
+_BL_RULES: Dict[str, Any] = dict(_RULES)
+_BL_RULES.update(
+    broadcast_in_dim=_bl_rule_broadcast,
+    reshape=_bl_rule_reshape,
+    transpose=_bl_rule_transpose,
+    slice=_bl_rule_slice,
+    squeeze=_bl_rule_squeeze,
+    concatenate=_bl_rule_concat,
+    gather=_bl_rule_gather,
+    scatter=_bl_rule_scatter,
+    select_n=_bl_rule_select_n,
+    convert_element_type=_bl_rule_convert,
+    iota=_bl_rule_iota,
+    dot_general=lambda eqn, x, y: d_dot_general_bl(
+        x if isinstance(x, DF) else DF(x.astype(_F32)[..., None], jnp.zeros(x.shape + (1,), _F32)),
+        y if isinstance(y, DF) else DF(y.astype(_F32)[..., None], jnp.zeros(y.shape + (1,), _F32)),
+        eqn.params["dimension_numbers"],
+    ),
+    rev=lambda eqn, x: _bl_movement(lambda a: jax.lax.rev(a, eqn.params["dimensions"]))(x)
+    if isinstance(x, DF)
+    else eqn.primitive.bind(x, **eqn.params),
+)
+
+
+def _bl_arith_wrap(vals):
+    """Promote plain operands mixed into DF arithmetic (batch-last):
+    unbatched ints/bools get a trailing singleton."""
+    e = _bl_E(vals)
+    out = []
+    for v in vals:
+        if isinstance(v, DF):
+            out.append(v)
+        else:
+            out.append(
+                DF(v.astype(_F32)[..., None], jnp.zeros(jnp.shape(v) + (1,), _F32))
+            )
+    return out
+
+
+for _name, _fn in (
+    ("add", d_add),
+    ("sub", d_sub),
+    ("mul", d_mul),
+    ("div", d_div),
+    ("max", d_max),
+    ("min", d_min),
+):
+    def _mk(fn):
+        def rule(eqn, *vals):
+            if not any(isinstance(v, DF) for v in vals):
+                return eqn.primitive.bind(*vals, **eqn.params)
+            return fn(*_bl_arith_wrap(vals))
+
+        return rule
+
+    _BL_RULES[_name] = _mk(_fn)
+
+_BL_RULES["reduce_sum"] = lambda eqn, x: d_reduce_sum(x, eqn.params["axes"])
+
+
+def df_eval_jaxpr_bl(jaxpr, consts, *args):
+    """Batch-last evaluation (see module section comment). ``args``: DF
+    with trailing E for float invars, plain for ints."""
+    env: Dict[Any, Any] = {}
+
+    def read(v):
+        if isinstance(v, _Literal):
+            val = np.asarray(v.val)
+            if np.issubdtype(val.dtype, np.floating):
+                d = d_from_f64(val)
+                return DF(d.hi[..., None], d.lo[..., None])
+            return jnp.asarray(val)
+        return env[v]
+
+    for v, c in zip(jaxpr.constvars, consts):
+        c = np.asarray(c)
+        if np.issubdtype(c.dtype, np.floating):
+            d = d_from_f64(c)
+            env[v] = DF(d.hi[..., None], d.lo[..., None])
+        else:
+            env[v] = jnp.asarray(c)
+    for v, a in zip(jaxpr.invars, args):
+        env[v] = a
+
+    for eqn in jaxpr.eqns:
+        vals = [read(v) for v in eqn.invars]
+        name = eqn.primitive.name
+        if name in ("pjit", "jit", "closed_call", "custom_jvp_call", "custom_vjp_call"):
+            sub = eqn.params.get("jaxpr") or eqn.params.get("call_jaxpr")
+            outs = df_eval_jaxpr_bl(sub.jaxpr, sub.consts, *vals)
+        else:
+            rule = _BL_RULES.get(name)
+            if rule is None:
+                if any(isinstance(v, DF) for v in vals):
+                    raise NotImplementedError(f"no batch-last df rule for '{name}'")
+                outs = eqn.primitive.bind(*vals, **eqn.params)
+            else:
+                outs = rule(eqn, *vals)
+        if eqn.primitive.multiple_results:
+            for v, o in zip(eqn.outvars, outs):
+                env[v] = o
+        else:
+            env[eqn.outvars[0]] = outs
+
+    return [read(v) for v in jaxpr.outvars]
+
+
+class DfFunctionBL:
+    """Batch-last df re-execution of an UNBATCHED f64 kernel.
+
+    Float args are DF pairs shaped logical_shape + (E,); the trace is of
+    the single-element function (cached per logical shapes)."""
+
+    def __init__(self, fn):
+        self._fn = fn
+        self._cache = {}
+
+    def __call__(self, *args):
+        key = tuple(
+            (True, v.hi.shape[:-1]) if isinstance(v, DF) else (False, np.shape(v))
+            for v in args
+        )
+        closed = self._cache.get(key)
+        if closed is None:
+            example = [
+                jax.ShapeDtypeStruct(v.hi.shape[:-1], jnp.float64)
+                if isinstance(v, DF)
+                else v
+                for v in args
+            ]
+            closed = jax.make_jaxpr(self._fn)(*example)
+            self._cache[key] = closed
+        return df_eval_jaxpr_bl(closed.jaxpr, closed.consts, *args)
+
+
+def df_function_bl(fn) -> DfFunctionBL:
+    return DfFunctionBL(fn)

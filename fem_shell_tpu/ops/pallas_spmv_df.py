@@ -64,7 +64,7 @@ def _two_prod(a, b):
     return p, ((ah * bh - p) + ah * bl + al * bh) + al * bl
 
 
-def prepare_tiled_values_df(values: DF, r_tile: int = 32) -> Tuple[jnp.ndarray, jnp.ndarray, int]:
+def prepare_tiled_values_df(values: DF, r_tile: int = 8) -> Tuple[jnp.ndarray, jnp.ndarray, int]:
     """(hi, lo) flat [36K, Npad] -> two tile-major [ntiles, 36K, r, 128]
     arrays + r. hi_tiled is directly usable by stencil_spmv_pallas_tiled."""
     rows36k, npad = values.hi.shape
@@ -199,7 +199,7 @@ def stencil_spmv_pallas_df(
 
 
 def stencil_spmv_pallas_df_flat(
-    values: DF, x: DF, offsets: Sequence[int], r_tile: int = 32, interpret: bool = False
+    values: DF, x: DF, offsets: Sequence[int], r_tile: int = 8, interpret: bool = False
 ) -> DF:
     """y = A x with A the FLAT df pair [36K, Npad] — no tile-major
     relayout. The tiled variant streams one contiguous block per grid
@@ -207,6 +207,10 @@ def stencil_spmv_pallas_df_flat(
     some bandwidth but avoids materializing a second copy of the pair
     (prohibitive at the multi-million-node scale: the pair is most of
     HBM)."""
+    # r_tile default 8: the df kernel streams TWO value arrays, each
+    # double-buffered by the pallas pipeline — 4 x [36K, r, 128] blocks
+    # must fit VMEM alongside the x window (r=24 at K=9 blew the 16 MB
+    # scoped limit by 96 KB on v5e).
     rows36k, npad = values.hi.shape
     offsets = tuple(int(o) for o in offsets)
     k = len(offsets)

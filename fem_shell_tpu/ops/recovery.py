@@ -215,3 +215,19 @@ def nodal_average(mesh, elem_field: np.ndarray) -> np.ndarray:
         np.add.at(cnt, np.asarray(conn).ravel(), 1.0)
         e0 += len(conn)
     return acc / np.maximum(cnt, 1.0)
+
+
+def to_mesh_order(mesh, elem_field: np.ndarray) -> np.ndarray:
+    """Reorder a tri-then-quad per-element field into the mesh's element
+    order (what VTU cell data expects)."""
+    from fem_shell_tpu.mesh import XDA_TRI3
+
+    elem_field = np.asarray(elem_field)
+    out = np.empty(mesh.n_elems, dtype=elem_field.dtype) if elem_field.ndim == 1 else np.empty(
+        (mesh.n_elems,) + elem_field.shape[1:], dtype=elem_field.dtype
+    )
+    tri_idx = np.where(mesh.elem_types == XDA_TRI3)[0]
+    quad_idx = np.where(mesh.elem_types != XDA_TRI3)[0]
+    out[tri_idx] = elem_field[: len(tri_idx)]
+    out[quad_idx] = elem_field[len(tri_idx) :]
+    return out

@@ -61,6 +61,12 @@ def _parse(argv: List[str]):
         help="bandwidth-reduce the node numbering (reverse Cuthill-McKee) "
         "before solving — unstructured meshes get SoA-operator locality",
     )
+    ap.add_argument(
+        "--stress",
+        action="store_true",
+        help="recover element stresses (membrane sigma, bending moments, "
+        "surface von Mises) and add them to the -out files",
+    )
     ap.add_argument("--f32", action="store_true")
     ap.add_argument("--df", action="store_true")
     ap.add_argument("--devices", type=int, default=1)
@@ -177,8 +183,32 @@ def main(argv: Optional[List[str]] = None) -> int:
         print("]")
 
     if args.out:
-        write_vtu(mesh, args.out + ".vtu", displacement=u, displace=True)
-        write_legacy_vtk(mesh, args.out + ".vtk", displacement=u, displace=True)
+        point_data = {}
+        cell_data = {}
+        if args.stress:
+            from fem_shell_tpu.ops.recovery import (
+                nodal_average,
+                recover_stresses,
+                to_mesh_order,
+            )
+
+            field = recover_stresses(mesh, material, u)
+            point_data["von_mises"] = nodal_average(mesh, field.vm)
+            cell_data["von_mises"] = to_mesh_order(mesh, field.vm)
+            cell_data["moments"] = to_mesh_order(mesh, field.moments)
+            cell_data["sigma_membrane"] = to_mesh_order(mesh, field.sigma_m)
+            print(f"Stress recovery: peak von Mises {field.vm.max():.6g}")
+        write_vtu(
+            mesh,
+            args.out + ".vtu",
+            displacement=u,
+            displace=True,
+            point_data=point_data,
+            cell_data=cell_data,
+        )
+        write_legacy_vtk(
+            mesh, args.out + ".vtk", displacement=u, displace=True, point_data=point_data
+        )
         wrote = [args.out + ".vtu", args.out + ".vtk"]
         try:
             from fem_shell_tpu.io.exodus import write_exodus

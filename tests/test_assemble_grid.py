@@ -92,3 +92,50 @@ def test_auto_method_selects_strip_on_cpu():
     v64 = np.asarray(s.assemble())
     v_df = np.asarray(pair.hi, np.float64) + np.asarray(pair.lo, np.float64)
     assert np.abs(v_df - v64.reshape(v_df.shape)).max() < 1e-13 * np.abs(v64).max()
+
+
+@pytest.mark.parametrize("et,strip_rows", [("q", 5), ("t", 3)])
+def test_grid_df_tiled_layout_matches_flat(et, strip_rows):
+    """Direct tile-major assembly == flat assembly (strips crossing tile
+    boundaries: n=34 -> npad 2048 = 2 tiles, strip folds straddle the
+    boundary)."""
+    from fem_shell_tpu.ops.assemble_grid import untile_values
+
+    n = 34
+    pm = MeshGenParams(et, n, n, 0, 0, 10, 10, (0, 1, 0, 1), 300.0, 2, True, "z")
+    mesh, _, _ = generate(pm)
+    s = LargeShellSystem(mesh, MAT, dtype=jnp.float64, chunk=64)
+    grid = detect_structured_grid(mesh)
+    kfn = s._grid_kernel_fn(3 if et == "t" else 4)
+    args = (
+        grid,
+        np.asarray(mesh.coords, np.float64),
+        s.free_t.astype(jnp.float32),
+        s.offsets,
+        s.pattern.n_pad,
+        kfn,
+    )
+    flat = assemble_grid_df(*args, strip_rows=strip_rows, eager=True, layout="flat")
+    tiled = assemble_grid_df(*args, strip_rows=strip_rows, eager=True, layout="tiled")
+    assert tiled.hi.ndim == 4 and tiled.hi.shape[0] == s.pattern.n_pad // 1024
+    for a, b in ((flat.hi, untile_values(tiled.hi)), (flat.lo, untile_values(tiled.lo))):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_tile_roundtrip_and_diagonal():
+    from fem_shell_tpu.ops.assemble_grid import (
+        soa_diagonal_tiled,
+        tile_values,
+        untile_values,
+    )
+    from fem_shell_tpu.ops.soa import soa_diagonal
+
+    pm = MeshGenParams("q", 8, 8, 0, 0, 10, 10, (0, 0, 0, 0), 300.0, 2, True, "z")
+    mesh, _, _ = generate(pm)
+    s = LargeShellSystem(mesh, MAT, dtype=jnp.float64, chunk=64)
+    pair = s.assemble_df(strip_nodes=512, chunk=64)
+    vt = tile_values(pair.hi)
+    assert np.array_equal(np.asarray(untile_values(vt)), np.asarray(pair.hi))
+    d1 = np.asarray(soa_diagonal(pair.hi, offsets=s.offsets))
+    d2 = np.asarray(soa_diagonal_tiled(vt, s.offsets))
+    assert np.array_equal(d1, d2)

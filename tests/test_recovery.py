@@ -89,3 +89,20 @@ def test_nodal_average_shapes():
     nv = nodal_average(mesh, f.vm)
     assert nv.shape == (mesh.n_nodes,)
     assert np.isfinite(nv).all() and nv.max() > 0
+
+
+def test_cli_stress_output(tmp_path, capsys):
+    from fem_shell_tpu.meshgen import MeshGenParams, write_files
+    from fem_shell_tpu.utils import cli
+
+    pm = MeshGenParams("q", 8, 8, 0, 0, 10, 10, (0, 0, 0, 0), 300.0, 2, True, "z")
+    write_files(pm, str(tmp_path / "plate"))
+    rc = cli.main(
+        ["-nu", "0.3", "-e", "1e7", "-t", "0.5", "-mesh", str(tmp_path / "plate.xda"),
+         "-out", str(tmp_path / "out"), "--stress"]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "peak von Mises" in out
+    vtu = (tmp_path / "out.vtu").read_text()
+    assert "von_mises" in vtu and "<CellData>" in vtu and "moments" in vtu

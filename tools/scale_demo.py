@@ -1,0 +1,94 @@
+"""SURVEY §7 step-7 scale target: a 10-million-element plate, assembled
+and solved on ONE TPU chip with golden-accurate center deflection.
+
+Default: 2304 x 2304 Tri-3 plate -> 10.6M elements, 5.3M nodes, 31.9M
+DOF. (Tri-3's 7-point stencil keeps the df operator pair at ~10.7 GB;
+a 10M-element Quad-4 grid's 9-point pair would not fit 16 GB HBM.)
+
+Pipeline: grid-df assembly (df-jaxpr kernels + shifted-window
+accumulation, ops/assemble_grid.py) -> geometric-multigrid-
+preconditioned df CG with Pallas stencil matvecs (mg.py).
+
+Golden: the exact Kirchhoff deflection for this SS uniform-load plate is
+w* = 0.0040624 * q * a^4 / D = 0.1064045 (reference
+doc/validation.tex:264-281); at n=2304 the discretization error is far
+below the reported tolerance.
+
+Usage: python tools/scale_demo.py [n]   (n divisible by a power of two
+reaching <=16; default 2304 = 2^8 * 9)
+"""
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from fem_shell_tpu.materials import Material
+from fem_shell_tpu.meshgen import MeshGenParams, generate
+from fem_shell_tpu.mg import MultigridShellSystem
+
+GOLDEN = 0.1064045
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 2304
+    mat = Material(nu=0.3, em=1e7, thickness=0.5)
+    pm = MeshGenParams("t", n, n, 0, 0, 10, 10, (0, 0, 0, 0), 300.0, 2, True, "z")
+    t0 = time.perf_counter()
+    mesh, rows, fac = generate(pm)
+    forces = rows * fac
+    n_elem = len(mesh.tri)
+    print(
+        f"device={jax.devices()[0]}  mesh: {n_elem} tri elements, "
+        f"{mesh.n_nodes} nodes, {6 * mesh.n_nodes} DOF "
+        f"(meshgen {time.perf_counter() - t0:.1f} s)",
+        flush=True,
+    )
+
+    t0 = time.perf_counter()
+    mg = MultigridShellSystem(mesh, mat, dtype=jnp.float32, df_operator=True)
+    t_build = time.perf_counter() - t0
+    print(f"build+assemble (cold, incl. compiles): {t_build:.1f} s  "
+          f"({mg.n_levels} levels)", flush=True)
+
+    t0 = time.perf_counter()
+    u = mg.solve_df(forces, rtol=1e-9, maxiter=600)
+    t_solve_cold = time.perf_counter() - t0
+    w = float(u[mesh.n_nodes // 2, 2])
+    err = abs(w - GOLDEN) / GOLDEN
+    print(
+        f"solve (cold): {t_solve_cold:.1f} s  iters={mg.last_iters} "
+        f"res={mg.last_residual:.2e}  center w={w:.7f}  golden err={err:.2e}",
+        flush=True,
+    )
+    assert err < 2e-3, f"golden miss: {w} vs {GOLDEN}"
+
+    # warm repeats: assembly and solve separately
+    t0 = time.perf_counter()
+    mg.reassemble()
+    t_asm = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    u = mg.solve_df(forces, rtol=1e-9, maxiter=600)
+    t_solve = time.perf_counter() - t0
+    w = float(u[mesh.n_nodes // 2, 2])
+    print(
+        f"warm: assembly {t_asm:.2f} s ({n_elem / t_asm / 1e6:.2f} Melem/s)  "
+        f"solve {t_solve:.2f} s ({mg.last_iters} iters)  overall {t_asm + t_solve:.2f} s  "
+        f"center w={w:.7f} err={abs(w - GOLDEN) / GOLDEN:.2e}",
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()
