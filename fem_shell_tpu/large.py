@@ -65,17 +65,6 @@ class LargeShellSystem:
 
         self.pattern = build_soa_pattern(mesh, k_max=k_max)
         p = self.pattern
-        if self.exact_geom:
-            c64 = np.asarray(mesh.coords, np.float64)
-            hi = c64.astype(np.float32)
-            lo = (c64 - hi).astype(np.float32)
-            self.coords = (jnp.asarray(hi), jnp.asarray(lo))
-        else:
-            self.coords = jnp.asarray(mesh.coords, dtype)
-        self.tri_conn = jnp.asarray(mesh.tri)
-        self.quad_conn = jnp.asarray(mesh.quad)
-        self.tri_slot = jnp.asarray(p.tri_slot)
-        self.quad_slot = jnp.asarray(p.quad_slot)
         self.offsets = p.offsets  # host-side ints (stencil mode) or None
         self.adj_t = jnp.asarray(p.adj_t) if p.adj_t is not None else None
 
@@ -93,19 +82,44 @@ class LargeShellSystem:
             and jax.devices()[0].platform != "cpu"
         )
 
-        # big static tables (connectivity, slots, masks) must cross the jit
-        # boundary as ARGUMENTS — as closure constants they get embedded in
-        # the serialized HLO and blow the remote-compile size limit at scale
-        self._tables = {
-            "tri_conn": self.tri_conn,
-            "quad_conn": self.quad_conn,
-            "tri_slot": self.tri_slot,
-            "quad_slot": self.quad_slot,
-            "free_t": self.free_t,
-            "adj_t": self.adj_t,
-        }
         self._assemble_jit = jax.jit(self._assemble_impl)
         self._solve_jit = jax.jit(self._solve_impl, static_argnums=(3, 4, 5))
+        self._tables_cache = None
+        self._coords_cache = None
+
+    # device tables/coords are LAZY: the grid-df pipeline never touches
+    # them on device, and the eager connectivity/slot uploads (tri_slot
+    # is int64 [E,3,3] = 0.76 GB at 10M elements) tipped the 10M-element
+    # assembly over HBM. The AoS/scatter paths upload on first use.
+    @property
+    def coords(self):
+        if self._coords_cache is None:
+            if self.exact_geom:
+                c64 = np.asarray(self.mesh.coords, np.float64)
+                hi = c64.astype(np.float32)
+                lo = (c64 - hi).astype(np.float32)
+                self._coords_cache = (jnp.asarray(hi), jnp.asarray(lo))
+            else:
+                self._coords_cache = jnp.asarray(self.mesh.coords, self.dtype)
+        return self._coords_cache
+
+    @property
+    def _tables(self):
+        # big static tables (connectivity, slots, masks) must cross the
+        # jit boundary as ARGUMENTS — as closure constants they get
+        # embedded in the serialized HLO and blow the remote-compile
+        # size limit at scale
+        if self._tables_cache is None:
+            p = self.pattern
+            self._tables_cache = {
+                "tri_conn": jnp.asarray(self.mesh.tri),
+                "quad_conn": jnp.asarray(self.mesh.quad),
+                "tri_slot": jnp.asarray(p.tri_slot),
+                "quad_slot": jnp.asarray(p.quad_slot),
+                "free_t": self.free_t,
+                "adj_t": self.adj_t,
+            }
+        return self._tables_cache
 
     # ------------------------------------------------------------------
     def _assemble_impl(self, coords, tables):
@@ -200,6 +214,7 @@ class LargeShellSystem:
         chunk: int = 8192,
         method: str = "auto",
         layout: str = "flat",
+        with_diag: bool = False,
     ):
         """BC-constrained df operator values (hi, lo), each FLAT
         [36K, Npad] f32 (see ops/soa.py:assemble_soa_df for the layout
@@ -263,6 +278,7 @@ class LargeShellSystem:
                     # rows
                     strip_rows=max(1, strip_nodes // grid.nxp),
                     layout=layout,
+                    with_diag=with_diag,
                 )
 
         from fem_shell_tpu.ops.soa import assemble_soa_df
@@ -281,9 +297,16 @@ class LargeShellSystem:
                 free32,
             )
         if layout == "tiled":
-            from fem_shell_tpu.ops.assemble_grid import tile_values
+            from fem_shell_tpu.ops.assemble_grid import soa_diagonal_tiled, tile_values
 
-            return DF(tile_values(hi), tile_values(lo))
+            pair = DF(tile_values(hi), tile_values(lo))
+            if with_diag:
+                return pair, soa_diagonal_tiled(pair.hi, self.offsets)
+            return pair
+        if with_diag:
+            from fem_shell_tpu.ops.soa import soa_diagonal
+
+            return DF(hi, lo), soa_diagonal(hi, offsets=self.offsets)
         return DF(hi, lo)
 
     def free_strip_cache(self):

@@ -292,16 +292,27 @@ class MultigridShellSystem:
                 # the tile-major kernel layout (the coarsest stays flat —
                 # _densify needs it, and it never smooths).
                 layout = "tiled" if (self.use_pallas and l < n_levels - 1) else "flat"
-                pair = sys_l.assemble_df(
-                    strip_nodes=strip_nodes, chunk=min(chunk, 8192), layout=layout
+                # every level is a grid by construction: force the grid
+                # pipeline on accelerators regardless of level size (the
+                # emulated-f64 strip path's unthrottled dispatch overlaps
+                # multi-GB temp arenas next to the resident fine pair)
+                method = "grid" if jax.devices()[0].platform != "cpu" else "auto"
+                pair, diag = sys_l.assemble_df(
+                    strip_nodes=strip_nodes,
+                    chunk=min(chunk, 8192),
+                    layout=layout,
+                    with_diag=True,
+                    method=method,
                 )
                 if l == 0:
                     self._fine_df = pair
                 values = pair.hi
             else:
                 values = sys_l.assemble()
+                diag = None
             self._systems.append(sys_l)
-            diag = self._diag_of(values, sys_l.offsets)
+            if diag is None:
+                diag = self._diag_of(values, sys_l.offsets)
             lvl = _Level(
                 values=values,
                 offsets=tuple(int(o) for o in sys_l.offsets),
@@ -349,15 +360,22 @@ class MultigridShellSystem:
                 )
                 if l == 0:
                     self._fine_df = None
-                pair = sys_l.assemble_df(
-                    strip_nodes=self._df_strip_nodes, chunk=self._df_chunk, layout=layout
+                method = "grid" if jax.devices()[0].platform != "cpu" else "auto"
+                pair, diag = sys_l.assemble_df(
+                    strip_nodes=self._df_strip_nodes,
+                    chunk=self._df_chunk,
+                    layout=layout,
+                    with_diag=True,
+                    method=method,
                 )
                 if l == 0:
                     self._fine_df = pair
                 values = pair.hi
             else:
                 values = sys_l.assemble()
-            diag = self._diag_of(values, sys_l.offsets)
+                diag = None
+            if diag is None:
+                diag = self._diag_of(values, sys_l.offsets)
             self.levels[l] = dataclasses.replace(
                 self.levels[l],
                 values=values,

@@ -85,10 +85,11 @@ def _make_grid_step(
     offsets: Tuple[int, ...],
     npad: int,
     tiled: bool = False,
+    finalize: bool = False,
 ):
     """One donated strip update of the flat df carry [36K, Npad].
 
-    Static config -> jitted step(hi, lo, ch, cl, free_pad, r0):
+    Static config -> jitted step(hi, lo, ch, cl, free_pad, r0[, free32]):
     - element coords sliced from the [3, nyp, nxp] df coordinate grid
       (pure dynamic_slice, no gather),
     - df element kernels (ops/dfk.py) on [m, 3, rows_e*nx],
@@ -97,8 +98,14 @@ def _make_grid_step(
       (masks are idempotent 0/1 factors; overlap rows masked twice stay
       correct),
     - renormalized two_sum fold into the carry (donated in place).
+
+    ``finalize=True`` (the LAST strip) additionally takes free32
+    [6, Npad], sets the constrained unit diagonal and extracts the
+    operator diagonal INSIDE the same donated executable, returning
+    (hi, lo, diag) — a separate epilogue executable forces a relayout
+    copy of the multi-GB pair on this toolchain (OOM at 10M elements).
     """
-    key = (kernel_fn, elem_type, ul_lr, rows_e, nx, nxp, k, offsets, npad, tiled)
+    key = (kernel_fn, elem_type, ul_lr, rows_e, nx, nxp, k, offsets, npad, tiled, finalize)
     if key in _GRID_STEP_CACHE:
         return _GRID_STEP_CACHE[key]
 
@@ -118,7 +125,7 @@ def _make_grid_step(
     # trailing dims tile-pad up to ~40x — the 10M-element OOM)
     dfn = df_function_bl(kernel_fn)
 
-    def step(hi, lo, ch, cl, free_pad_h, r0):
+    def step(hi, lo, ch, cl, free_pad_h, r0, *maybe_free32):
         z = jnp.zeros((), r0.dtype)
         cwin_h = jax.lax.dynamic_slice(ch, (z, r0, z), (3, rows_n, nxp))
         cwin_l = jax.lax.dynamic_slice(cl, (z, r0, z), (3, rows_n, nxp))
@@ -216,7 +223,7 @@ def _make_grid_step(
             n_h, n_l = two_sum(s_, e_)
             hi = jax.lax.dynamic_update_slice(hi, n_h, (z, start))
             lo = jax.lax.dynamic_update_slice(lo, n_l, (z, start))
-            return hi, lo
+            return _finish(hi, lo, maybe_free32)
 
         # tile-major fold: hi/lo are [ntiles, 36K, 8, 128] (the Pallas
         # production layout, ops/pallas_spmv*.py) — assembling straight
@@ -249,7 +256,24 @@ def _make_grid_step(
         n_h, n_l = two_sum(s_, e_)
         hi = jax.lax.dynamic_update_slice(hi, n_h, (t0, z, z, z))
         lo = jax.lax.dynamic_update_slice(lo, n_l, (t0, z, z, z))
-        return hi, lo
+        return _finish(hi, lo, maybe_free32)
+
+    def _finish(hi, lo, maybe_free32):
+        # NB: the constrained unit diagonal is placed in the carry
+        # INITIALIZATION (assemble_grid_df) — constrained contributions
+        # are masked to exact zeros, so every two_sum fold preserves it.
+        # Adding it here via at[].add cost a full extra copy of the pair
+        # in XLA buffer assignment (temp 5.6 GB at the 10M scale).
+        if not finalize:
+            return hi, lo
+        k0 = int(np.searchsorted(np.asarray(offsets), 0))
+        if tiled:
+            diag = jnp.stack(
+                [hi[:, (a * 6 + a) * k + k0, :, :].reshape(-1) for a in range(6)]
+            )
+        else:
+            diag = jnp.stack([hi[(a * 6 + a) * k + k0] for a in range(6)])
+        return hi, lo, diag
 
     fn = jax.jit(step, donate_argnums=(0, 1))
     _GRID_STEP_CACHE[key] = fn
@@ -277,6 +301,7 @@ def assemble_grid_df(
     strip_rows: Optional[int] = None,
     eager: bool = False,
     layout: str = "flat",
+    with_diag: bool = False,
 ) -> DF:
     """BC-constrained df operator values (hi, lo) f32, built without
     scatter or emulated f64. ``layout``:
@@ -286,10 +311,12 @@ def assemble_grid_df(
       layout (ops/pallas_spmv*.py), written DIRECTLY so the pair never
       needs a second-copy relayout (it is most of HBM at scale).
 
-    ``kernel_fn`` maps DF xyz [m,3,E] to the batched element stiffness
-    (vmapped tri/quad kernel, see large.py:_grid_kernel_fn).
-    ``eager=True`` skips the per-strip jit — CPU tests only (CPU jit
-    FMA-contracts the EFTs, ops/df.py)."""
+    ``kernel_fn`` is the SINGLE-ELEMENT stiffness (batch-last df
+    interpretation, large.py:_grid_kernel_fn). ``eager=True`` skips the
+    per-strip jit — CPU tests only (CPU jit FMA-contracts the EFTs,
+    ops/df.py). ``with_diag=True`` (tiled only) additionally returns the
+    operator diagonal [6, Npad], extracted inside the donated epilogue —
+    a separate eager extraction OOMs when the pair nearly fills HBM."""
     nyp, nxp = grid.nyp, grid.nxp
     nx, ny = nxp - 1, nyp - 1
     k = len(offsets)
@@ -308,55 +335,77 @@ def assemble_grid_df(
     if strip_rows is None:
         strip_rows = max(1, min(ny, 65536 // max(nx, 1)))
 
+    free32 = jnp.asarray(np.asarray(free_t32, np.float32))
+
+    # carry INIT already holds the constrained unit diagonal (see
+    # _finish): one small jitted constructor, no donated post-pass
     if tiled:
-        hi = jnp.zeros((npad // _TILE, 36 * k, 8, 128), jnp.float32)
-        lo = jnp.zeros((npad // _TILE, 36 * k, 8, 128), jnp.float32)
+        def _init(f32):
+            h = jnp.zeros((npad // _TILE, 36 * k, 8, 128), jnp.float32)
+            return add_unit_diagonal_df_tiled(h, f32, tuple(offsets), k)
     else:
-        hi = jnp.zeros((36 * k, npad), jnp.float32)
-        lo = jnp.zeros((36 * k, npad), jnp.float32)
+        def _init(f32):
+            from fem_shell_tpu.ops.soa import add_unit_diagonal_df
+
+            h = jnp.zeros((36 * k, npad), jnp.float32)
+            return add_unit_diagonal_df(h, f32, tuple(offsets), k)
+
+    hi = _init(free32) if eager else jax.jit(_init)(free32)
+    lo = jnp.zeros_like(hi)
     ch_j, cl_j = jnp.asarray(ch), jnp.asarray(cl)
     fp_j = jnp.asarray(free_pad)
+
+    # dispatch throttling: each strip's executable holds a ~2 GB temp
+    # arena; dispatching strips ASYNC lets the runtime overlap several
+    # executions and their arenas — at the 10M-element scale (pair ~=
+    # 2/3 of HBM) that OOMs even though every single step fits. A real
+    # host fetch per strip serializes execution (block_until_ready is
+    # optimistic on the remote platform). Synced per-strip cost measured
+    # 0.11 s at 2304^2 — the sync is noise.
+    pair_bytes = 2 * 36 * k * npad * 4
+    throttle = pair_bytes > 4e9
+
+    def _sync(a):
+        np.asarray(a[0, 0, 0, 0] if tiled else a[0, 0])
 
     r0 = 0
     while r0 < ny:
         rows_e = min(strip_rows, ny - r0)
+        last = r0 + rows_e >= ny
         step = _make_grid_step(
             kernel_fn, grid.elem_type, grid.ul_lr, rows_e, nx, nxp, k, offsets, npad,
-            tiled=tiled,
+            tiled=tiled, finalize=last,
         )
         if eager:
             step = step.__wrapped__
-        hi, lo = step(hi, lo, ch_j, cl_j, fp_j, jnp.asarray(r0, jnp.int32))
+        extra = (free32,) if last else ()
+        out = step(hi, lo, ch_j, cl_j, fp_j, jnp.asarray(r0, jnp.int32), *extra)
+        if last:
+            hi, lo, diag = out
+        else:
+            hi, lo = out
+            if throttle and not eager:
+                _sync(hi)
         r0 += rows_e
 
-    free32 = jnp.asarray(np.asarray(free_t32, np.float32))
-    if tiled:
-        if eager:
-            hi = add_unit_diagonal_df_tiled(hi, free32, offsets, k)
-        else:
-            hi = jax.jit(
-                add_unit_diagonal_df_tiled, static_argnums=(2, 3), donate_argnums=0
-            )(hi, free32, tuple(offsets), k)
-        return DF(hi, lo)
-
-    from fem_shell_tpu.ops.soa import add_unit_diagonal_df
-
-    if eager:
-        hi = add_unit_diagonal_df(hi, free32, offsets, k)
-    else:
-        hi = jax.jit(add_unit_diagonal_df, static_argnums=(2, 3), donate_argnums=0)(
-            hi, free32, tuple(offsets), k
-        )
+    if with_diag:
+        return DF(hi, lo), diag
     return DF(hi, lo)
 
 
+
+
 def soa_diagonal_tiled(values_t, offsets):
-    """[6, Npad] diagonal from tiled values [ntiles, 36K, 8, 128]."""
+    """[6, Npad] diagonal from tiled values [ntiles, 36K, 8, 128].
+
+    Static slices, NOT a fancy-index gather — an eager gather on the
+    multi-GB operand triggers a whole-array relayout copy (OOMed the 10M
+    run right after a successful assembly)."""
     k = len(offsets)
     k0 = int(np.searchsorted(np.asarray(offsets), 0))
-    rows = [(a * 6 + a) * k + k0 for a in range(6)]
-    d = values_t[:, jnp.asarray(rows)]  # [ntiles, 6, 8, 128]
-    return jnp.transpose(d, (1, 0, 2, 3)).reshape(6, -1)
+    return jnp.stack(
+        [values_t[:, (a * 6 + a) * k + k0, :, :].reshape(-1) for a in range(6)]
+    )
 
 
 def tile_values(values_flat):
