@@ -127,7 +127,7 @@ class _Level:
     closure constants they would be embedded into the HLO, which blows
     past the remote-compile request size limit at scale."""
 
-    values: jnp.ndarray  # [36, K, Npad]
+    values: jnp.ndarray  # [36, K, Npad] | flat [36K, Npad] | tiled 4D
     offsets: tuple
     free_t: jnp.ndarray  # [6, Npad]
     inv_diag: jnp.ndarray  # [6, Npad]
@@ -135,18 +135,19 @@ class _Level:
     nxp: int  # node cols
     npad: int
     dense_inv: Optional[jnp.ndarray] = None  # coarsest level only
+    omega: Optional[jnp.ndarray] = None  # per-level Jacobi damping (scalar array)
 
     def tree_flatten(self):
         return (
-            (self.values, self.free_t, self.inv_diag, self.dense_inv),
+            (self.values, self.free_t, self.inv_diag, self.dense_inv, self.omega),
             (self.offsets, self.nyp, self.nxp, self.npad),
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        values, free_t, inv_diag, dense_inv = children
+        values, free_t, inv_diag, dense_inv, omega = children
         offsets, nyp, nxp, npad = aux
-        return cls(values, offsets, free_t, inv_diag, nyp, nxp, npad, dense_inv)
+        return cls(values, offsets, free_t, inv_diag, nyp, nxp, npad, dense_inv, omega)
 
 
 def _to_grid(x, lvl: _Level):
@@ -203,8 +204,8 @@ class MultigridShellSystem:
         material: Material,
         dtype=jnp.float64,
         n_levels: Optional[int] = None,
-        nu_smooth: int = 2,
-        omega: float = 0.7,
+        nu_smooth: int = 3,
+        omega: Optional[float] = None,
         coarse_max: int = 8,
         chunk: int = 16384,
         df_operator: bool = False,
@@ -223,15 +224,31 @@ class MultigridShellSystem:
         self.dtype = dtype
         self.df_operator = df_operator
         self.nu_smooth = nu_smooth
+        # omega None = per-level auto-damping: lambda_max(D^-1 A) is
+        # estimated by power iteration and omega = 4/(3 lambda_max) — the
+        # classic optimal damping for Jacobi smoothing of the upper half
+        # spectrum. The quad stencil lands at ~0.7 (the old hand-tuned
+        # value); the TRI stencil needs ~0.5: at the fixed 0.7 its
+        # V-cycle loses mesh independence (88/158/279 iterations at
+        # 64/128/256 — and at omega=0.9 it diverges outright).
         self.omega = omega
+        _n_elem_fine = len(mesh.tri) + len(mesh.quad)
+        # "big" regime: grid-df assembly + Pallas matvecs win above
+        # ~10^5 elements; below, the per-dispatch overhead of the
+        # barrier-segmented kernels loses to the small-mesh strip/XLA
+        # paths (measured: 128^2 pallas solve 0.26 s vs 0.18 s XLA,
+        # 512^2 0.65 s vs 1.09 s)
+        self._big = _n_elem_fine >= 65536
         # Pallas stencil kernels (f32 smoother + df outer matvec): real
         # accelerator only — CPU Pallas is interpret-only, and f64 levels
-        # keep the XLA path (no f64 inside Pallas). Plain (non-tiled)
-        # layout everywhere: no relayout copies, which matters when the
-        # fine df pair is most of HBM.
+        # keep the XLA path (no f64 inside Pallas). Plain tile-major
+        # layouts: no relayout copies, which matters when the fine df
+        # pair is most of HBM.
         if use_pallas is None:
-            use_pallas = jax.devices()[0].platform != "cpu" and (
-                df_operator or dtype == jnp.float32
+            use_pallas = (
+                jax.devices()[0].platform != "cpu"
+                and (df_operator or dtype == jnp.float32)
+                and self._big
             )
         self.use_pallas = use_pallas
 
@@ -292,11 +309,16 @@ class MultigridShellSystem:
                 # the tile-major kernel layout (the coarsest stays flat —
                 # _densify needs it, and it never smooths).
                 layout = "tiled" if (self.use_pallas and l < n_levels - 1) else "flat"
-                # every level is a grid by construction: force the grid
-                # pipeline on accelerators regardless of level size (the
-                # emulated-f64 strip path's unthrottled dispatch overlaps
-                # multi-GB temp arenas next to the resident fine pair)
-                method = "grid" if jax.devices()[0].platform != "cpu" else "auto"
+                # at scale, every level is a grid by construction: force
+                # the grid pipeline on accelerators regardless of level
+                # size (the emulated-f64 strip path's unthrottled dispatch
+                # overlaps multi-GB temp arenas next to the resident fine
+                # pair); small systems keep the latency-friendly auto path
+                method = (
+                    "grid"
+                    if (self._big and jax.devices()[0].platform != "cpu")
+                    else "auto"
+                )
                 pair, diag = sys_l.assemble_df(
                     strip_nodes=strip_nodes,
                     chunk=min(chunk, 8192),
@@ -322,6 +344,7 @@ class MultigridShellSystem:
                 nxp=nxp_l,
                 npad=sys_l.pattern.n_pad,
             )
+            lvl = dataclasses.replace(lvl, omega=self._level_omega(lvl))
             self.levels.append(lvl)
         self._fine_mesh = mesh
         self._fine = self.levels[0]
@@ -360,7 +383,11 @@ class MultigridShellSystem:
                 )
                 if l == 0:
                     self._fine_df = None
-                method = "grid" if jax.devices()[0].platform != "cpu" else "auto"
+                method = (
+                    "grid"
+                    if (self._big and jax.devices()[0].platform != "cpu")
+                    else "auto"
+                )
                 pair, diag = sys_l.assemble_df(
                     strip_nodes=self._df_strip_nodes,
                     chunk=self._df_chunk,
@@ -376,11 +403,12 @@ class MultigridShellSystem:
                 diag = None
             if diag is None:
                 diag = self._diag_of(values, sys_l.offsets)
-            self.levels[l] = dataclasses.replace(
+            lvl = dataclasses.replace(
                 self.levels[l],
                 values=values,
                 inv_diag=jnp.where(diag != 0, 1.0 / diag, 1.0),
             )
+            self.levels[l] = dataclasses.replace(lvl, omega=self._level_omega(lvl))
         c = self.levels[-1]
         dense = np.asarray(_densify(c), np.float64)
         inv = np.linalg.inv(dense).astype(np.float64 if self.dtype == jnp.float64 else np.float32)
@@ -406,10 +434,38 @@ class MultigridShellSystem:
             )
         return soa_matvec(lvl.values, x, offsets=lvl.offsets)
 
+    def _level_omega(self, lvl: _Level):
+        """Per-level Jacobi damping: omega = 4 / (3 lambda_max(D^-1 A)),
+        lambda_max from a short power iteration — the optimal damping for
+        smoothing the upper half spectrum. Fixed-omega history: 0.7 suits
+        the quad stencil (lambda_max ~ 1.9) but the tri stencil has
+        lambda_max ~ 2.6 and loses mesh-independence (even diverges at
+        0.9). ``omega=<float>`` in the constructor overrides."""
+        if self.omega is not None:
+            return jnp.asarray(self.omega, lvl.inv_diag.dtype)
+
+        def power(lvl):
+            n = lvl.npad
+            i = jnp.arange(6 * n, dtype=lvl.inv_diag.dtype).reshape(6, n)
+            v = (jnp.sin(i * 0.7311) + 0.1) * lvl.free_t
+            v = v / jnp.sqrt(jnp.sum(v * v))
+
+            def body(_, v):
+                w = lvl.inv_diag * self._mv(lvl, v)
+                return w / jnp.sqrt(jnp.sum(w * w))
+
+            v = jax.lax.fori_loop(0, 15, body, v)
+            w = lvl.inv_diag * self._mv(lvl, v)
+            return jnp.sqrt(jnp.sum(w * w))
+
+        lam = jax.jit(power)(lvl)
+        return jnp.maximum(4.0 / (3.0 * lam), 0.2).astype(lvl.inv_diag.dtype)
+
     def _smooth(self, lvl: _Level, x, b, sweeps):
+        omega = self.omega if lvl.omega is None else lvl.omega
         for _ in range(sweeps):
             r = b - self._mv(lvl, x)
-            x = x + self.omega * lvl.inv_diag * r
+            x = x + omega * lvl.inv_diag * r
         return x
 
     def _vcycle(self, levels, li: int, b):
@@ -499,12 +555,20 @@ class MultigridShellSystem:
         res = pcg_df(mv, b, rtol=rtol, maxiter=maxiter, apply_prec=prec)
         return df_to_f64(res.x), res.iters, res.residual
 
-    def _solve_df_impl_pair(self, fine_df, fine, levels, forces_t64, rtol, maxiter):
+    def _solve_df_impl_pair(self, fine_df, levels, forces_t64, rtol, maxiter):
         """df outer CG over a strip-assembled df operator pair: f64-class
-        operator accuracy at two-f32 storage/bandwidth. The V-cycle reuses
-        fine_df.hi through ``levels`` (no extra fine-level copy)."""
+        operator accuracy at two-f32 storage/bandwidth.
+
+        ``levels[0].values`` arrives as None and is REBOUND to fine_df.hi
+        here: passing the fine hi as two separate jit arguments makes the
+        compiler budget it twice (observed: 'Used 20.39G of 15.75G hbm'
+        at the 10M-element scale even though both args alias one buffer).
+        """
         from fem_shell_tpu.ops.df import DF, df_from_f64, df_stencil_matvec, df_to_f64
         from fem_shell_tpu.solver_df import pcg_df
+
+        fine = dataclasses.replace(levels[0], values=fine_df.hi)
+        levels = [fine] + list(levels[1:])
 
         b = df_from_f64(forces_t64 * fine.free_t.astype(jnp.float64))
         if fine_df.hi.ndim == 4:  # tile-major pair => Pallas df kernel
@@ -531,14 +595,17 @@ class MultigridShellSystem:
             # boundary as an ARGUMENT (closure constants are embedded into
             # the serialized HLO; remote-compile size limit)
             if not hasattr(self, "_solve_df_jit"):
-                self._solve_df_jit = jax.jit(self._solve_df_impl_pair, static_argnums=(4, 5))
+                self._solve_df_jit = jax.jit(self._solve_df_impl_pair, static_argnums=(3, 4))
             lvl = self._fine
             f = np.zeros((lvl.npad, 6))
             f[: lvl.nyp * lvl.nxp] = np.asarray(forces)
             f_t = jnp.asarray(f.T, jnp.float64)
+            levels_arg = [dataclasses.replace(self.levels[0], values=None)] + list(
+                self.levels[1:]
+            )
             with jax.default_matmul_precision("highest"):
                 x64, iters, res = self._solve_df_jit(
-                    self._fine_df, self.levels[0], self.levels, f_t, rtol, maxiter
+                    self._fine_df, levels_arg, f_t, rtol, maxiter
                 )
             self.last_iters = int(iters)
             self.last_residual = float(res)

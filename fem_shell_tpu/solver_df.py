@@ -45,17 +45,20 @@ def pcg_df(
 
     x = df_zeros_like(b)
     r = b
-    z = apply_prec(r)
-    p = z
-    rz = df_dot_f64(r, z)
+    p = apply_prec(r)
+    rz = df_dot_f64(r, p)
+
+    # carry only (x, r, p, rz): z = prec(r) is recomputed in every body
+    # anyway — carrying it costs an extra df vector (255 MB at 5.3M
+    # nodes, where the operator pair already fills ~2/3 of HBM)
 
     def cond(state):
-        _, r, _, _, _, it = state
+        _, r, _, _, it = state
         rn = jnp.sqrt(df_dot_f64(r, r))
         return jnp.logical_and(rn > stop, it < maxiter)
 
     def body(state):
-        x, r, z, p, rz, it = state
+        x, r, p, rz, it = state
         ap = matvec(p)
         alpha = rz / df_dot_f64(p, ap)
         a_df = df_scalar_from_f64(alpha)
@@ -65,9 +68,9 @@ def pcg_df(
         rz_new = df_dot_f64(r, z)
         beta = df_scalar_from_f64(rz_new / rz)
         p = df_add(z, df_scale(p, beta))
-        return (x, r, z, p, rz_new, it + 1)
+        return (x, r, p, rz_new, it + 1)
 
-    state = (x, r, z, p, rz, jnp.zeros((), jnp.int32))
-    x, r, _, _, _, it = jax.lax.while_loop(cond, body, state)
+    state = (x, r, p, rz, jnp.zeros((), jnp.int32))
+    x, r, _, _, it = jax.lax.while_loop(cond, body, state)
     rel = jnp.sqrt(df_dot_f64(r, r)) / b_norm
     return DFCGResult(x, it, rel)
