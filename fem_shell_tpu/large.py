@@ -264,6 +264,11 @@ class LargeShellSystem:
 
                 grid = detect_structured_grid(self.mesh)
                 self._grid_info = grid
+            if grid is None:
+                raise ValueError(
+                    "method='grid' requires a detected structured grid "
+                    "(detect_structured_grid returned None for this mesh)"
+                )
             m = 3 if grid.elem_type == "t" else 4
             with jax.default_matmul_precision("highest"):
                 return assemble_grid_df(

@@ -448,18 +448,23 @@ class MultigridShellSystem:
             n = lvl.npad
             i = jnp.arange(6 * n, dtype=lvl.inv_diag.dtype).reshape(6, n)
             v = (jnp.sin(i * 0.7311) + 0.1) * lvl.free_t
-            v = v / jnp.sqrt(jnp.sum(v * v))
+            tiny = jnp.asarray(1e-30, lvl.inv_diag.dtype)
+            # guard: a level whose DOFs are all constrained (free_t == 0)
+            # would otherwise hit 0/0 and poison omega with NaN
+            v = v / jnp.maximum(jnp.sqrt(jnp.sum(v * v)), tiny)
 
             def body(_, v):
                 w = lvl.inv_diag * self._mv(lvl, v)
-                return w / jnp.sqrt(jnp.sum(w * w))
+                return w / jnp.maximum(jnp.sqrt(jnp.sum(w * w)), tiny)
 
             v = jax.lax.fori_loop(0, 15, body, v)
             w = lvl.inv_diag * self._mv(lvl, v)
-            return jnp.sqrt(jnp.sum(w * w))
+            return jnp.maximum(jnp.sqrt(jnp.sum(w * w)), tiny)
 
         lam = jax.jit(power)(lvl)
-        return jnp.maximum(4.0 / (3.0 * lam), 0.2).astype(lvl.inv_diag.dtype)
+        # clip both ends: degenerate lam (all-constrained level) must not
+        # produce a huge or NaN omega — any finite value is harmless there
+        return jnp.clip(4.0 / (3.0 * lam), 0.2, 1.0).astype(lvl.inv_diag.dtype)
 
     def _smooth(self, lvl: _Level, x, b, sweeps):
         omega = self.omega if lvl.omega is None else lvl.omega

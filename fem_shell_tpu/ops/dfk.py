@@ -315,6 +315,13 @@ def _rule_convert(eqn, x):
     new = eqn.params["new_dtype"]
     if jnp.issubdtype(new, jnp.floating):
         if isinstance(x, DF):
+            if jnp.dtype(new).itemsize < 8:
+                # a kernel that deliberately narrows (f64 -> f32) must
+                # not silently retain full df precision: round through
+                # the target dtype so the interpreter matches eager f64
+                # semantics
+                rounded = d_to_f64(x).astype(new).astype(_F32)
+                return DF(rounded, jnp.zeros_like(rounded))
             return x
         # int -> float: element-kernel integers are tiny (quadrature /
         # index constants), exactly representable in f32
@@ -719,9 +726,7 @@ def _bl_rule_select_n(eqn, pred, *cases):
     ]
     pred_b = pred[..., None]
     return DF(
-        jax.lax.select_n(pred_b, *[jnp.broadcast_to(c.hi, c.hi.shape) for c in cs])
-        if False
-        else jnp.where(pred_b, cs[1].hi, cs[0].hi)
+        jnp.where(pred_b, cs[1].hi, cs[0].hi)
         if len(cs) == 2
         else jax.lax.select_n(jnp.broadcast_to(pred_b, cs[0].hi.shape), *[c.hi for c in cs]),
         jnp.where(pred_b, cs[1].lo, cs[0].lo)
@@ -911,7 +916,9 @@ class DfFunctionBL:
 
     def __call__(self, *args):
         key = tuple(
-            (True, v.hi.shape[:-1]) if isinstance(v, DF) else (False, np.shape(v))
+            (True, v.hi.shape[:-1], str(v.hi.dtype))
+            if isinstance(v, DF)
+            else (False, np.shape(v), str(np.asarray(v).dtype))
             for v in args
         )
         closed = self._cache.get(key)
