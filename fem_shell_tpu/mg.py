@@ -136,18 +136,22 @@ class _Level:
     npad: int
     dense_inv: Optional[jnp.ndarray] = None  # coarsest level only
     omega: Optional[jnp.ndarray] = None  # per-level Jacobi damping (scalar array)
+    chol: Optional[jnp.ndarray] = None  # coarsest: Cholesky of scaled dense
+    chol_scale: Optional[jnp.ndarray] = None  # d^-1/2 for the scaled factor
 
     def tree_flatten(self):
         return (
-            (self.values, self.free_t, self.inv_diag, self.dense_inv, self.omega),
+            (self.values, self.free_t, self.inv_diag, self.dense_inv, self.omega,
+             self.chol, self.chol_scale),
             (self.offsets, self.nyp, self.nxp, self.npad),
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        values, free_t, inv_diag, dense_inv, omega = children
+        values, free_t, inv_diag, dense_inv, omega, chol, chol_scale = children
         offsets, nyp, nxp, npad = aux
-        return cls(values, offsets, free_t, inv_diag, nyp, nxp, npad, dense_inv, omega)
+        return cls(values, offsets, free_t, inv_diag, nyp, nxp, npad, dense_inv,
+                   omega, chol, chol_scale)
 
 
 def _to_grid(x, lvl: _Level):
@@ -211,6 +215,7 @@ class MultigridShellSystem:
         df_operator: bool = False,
         strip_nodes: int = 65536,
         use_pallas: Optional[bool] = None,
+        assemble: bool = True,
     ):
         """``df_operator=True`` is the multi-million-element configuration:
         every level is strip-assembled into a df (two-f32) operator
@@ -299,6 +304,22 @@ class MultigridShellSystem:
             )
             if sys_l.offsets is None:
                 raise ValueError("multigrid requires stencil-addressable grids")
+            if not assemble:
+                # lazy construction (solve_fused assembles every level
+                # inside its single jitted program per call)
+                self._systems.append(sys_l)
+                self.levels.append(
+                    _Level(
+                        values=None,
+                        offsets=tuple(int(o) for o in sys_l.offsets),
+                        free_t=sys_l.free_t,
+                        inv_diag=None,
+                        nyp=nyp_l,
+                        nxp=nxp_l,
+                        npad=sys_l.pattern.n_pad,
+                    )
+                )
+                continue
             if df_operator:
                 # every level goes through the donated pipeline (peak
                 # memory = running levels + ONE pair); only the fine level
@@ -351,11 +372,12 @@ class MultigridShellSystem:
         self._df_strip_nodes = strip_nodes
         self._df_chunk = min(chunk, 8192)
 
-        # coarsest: dense inverse, computed on host (TPU lacks LU support)
-        c = self.levels[-1]
-        dense = np.asarray(_densify(c), np.float64)
-        inv = np.linalg.inv(dense).astype(np.float64 if dtype == jnp.float64 else np.float32)
-        self.levels[-1] = dataclasses.replace(c, dense_inv=jnp.asarray(inv, dtype))
+        if assemble:
+            # coarsest: dense inverse, computed on host (TPU lacks LU support)
+            c = self.levels[-1]
+            dense = np.asarray(_densify(c), np.float64)
+            inv = np.linalg.inv(dense).astype(np.float64 if dtype == jnp.float64 else np.float32)
+            self.levels[-1] = dataclasses.replace(c, dense_inv=jnp.asarray(inv, dtype))
 
         self._solve_jit = jax.jit(self._solve_impl, static_argnums=(2, 3))
 
@@ -443,28 +465,28 @@ class MultigridShellSystem:
         0.9). ``omega=<float>`` in the constructor overrides."""
         if self.omega is not None:
             return jnp.asarray(self.omega, lvl.inv_diag.dtype)
-
-        def power(lvl):
-            n = lvl.npad
-            i = jnp.arange(6 * n, dtype=lvl.inv_diag.dtype).reshape(6, n)
-            v = (jnp.sin(i * 0.7311) + 0.1) * lvl.free_t
-            tiny = jnp.asarray(1e-30, lvl.inv_diag.dtype)
-            # guard: a level whose DOFs are all constrained (free_t == 0)
-            # would otherwise hit 0/0 and poison omega with NaN
-            v = v / jnp.maximum(jnp.sqrt(jnp.sum(v * v)), tiny)
-
-            def body(_, v):
-                w = lvl.inv_diag * self._mv(lvl, v)
-                return w / jnp.maximum(jnp.sqrt(jnp.sum(w * w)), tiny)
-
-            v = jax.lax.fori_loop(0, 15, body, v)
-            w = lvl.inv_diag * self._mv(lvl, v)
-            return jnp.maximum(jnp.sqrt(jnp.sum(w * w)), tiny)
-
-        lam = jax.jit(power)(lvl)
+        lam = jax.jit(self._power_lambda)(lvl)
         # clip both ends: degenerate lam (all-constrained level) must not
         # produce a huge or NaN omega — any finite value is harmless there
         return jnp.clip(4.0 / (3.0 * lam), 0.2, 1.0).astype(lvl.inv_diag.dtype)
+
+    def _power_lambda(self, lvl: _Level):
+        """Traceable lambda_max(D^-1 A) power iteration for one level."""
+        n = lvl.npad
+        i = jnp.arange(6 * n, dtype=lvl.inv_diag.dtype).reshape(6, n)
+        v = (jnp.sin(i * 0.7311) + 0.1) * lvl.free_t
+        tiny = jnp.asarray(1e-30, lvl.inv_diag.dtype)
+        # guard: a level whose DOFs are all constrained (free_t == 0)
+        # would otherwise hit 0/0 and poison omega with NaN
+        v = v / jnp.maximum(jnp.sqrt(jnp.sum(v * v)), tiny)
+
+        def body(_, v):
+            w = lvl.inv_diag * self._mv(lvl, v)
+            return w / jnp.maximum(jnp.sqrt(jnp.sum(w * w)), tiny)
+
+        v = jax.lax.fori_loop(0, 15, body, v)
+        w = lvl.inv_diag * self._mv(lvl, v)
+        return jnp.maximum(jnp.sqrt(jnp.sum(w * w)), tiny)
 
     def _smooth(self, lvl: _Level, x, b, sweeps):
         omega = self.omega if lvl.omega is None else lvl.omega
@@ -475,6 +497,22 @@ class MultigridShellSystem:
 
     def _vcycle(self, levels, li: int, b):
         lvl = levels[li]
+        if lvl.chol is not None:
+            # device-resident coarse solve: Cholesky of the diagonally
+            # scaled dense operator (scaling tames the drilling-DOF
+            # conditioning so an f32 factor is accurate enough for a
+            # preconditioner component)
+            n_real = lvl.nyp * lvl.nxp
+            rhs = (lvl.chol_scale * b[:, :n_real].reshape(-1))[:, None]
+            y = jax.lax.linalg.triangular_solve(
+                lvl.chol, rhs, left_side=True, lower=True, transpose_a=False
+            )
+            z = jax.lax.linalg.triangular_solve(
+                lvl.chol, y, left_side=True, lower=True, transpose_a=True
+            )
+            flat = (lvl.chol_scale * z[:, 0]).reshape(6, n_real)
+            flat = jnp.pad(flat, ((0, 0), (0, lvl.npad - n_real)))
+            return flat * lvl.free_t
         if lvl.dense_inv is not None:
             n_real = lvl.nyp * lvl.nxp
             flat = (lvl.dense_inv @ b[:, :n_real].reshape(-1)).reshape(6, n_real)
@@ -631,6 +669,308 @@ class MultigridShellSystem:
         f_t = jnp.asarray(f.T, jnp.float64)
         with jax.default_matmul_precision("highest"):
             x64, iters, res = self._solve_df_jit(self.levels[0], levels32, f_t, rtol, maxiter)
+        self.last_iters = int(iters)
+        self.last_residual = float(res)
+        return np.asarray(x64).T[: lvl.nyp * lvl.nxp]
+
+    # ------------------------------------------------------------------
+    # exact-stencil iterative refinement (uniform structured grids).
+    # The df operator's correlated eps49 representation/accumulation
+    # noise is amplified by the plate's kappa ~ n^4 to ~1e-2 at the
+    # 10M-element scale; refinement against the longdouble class-table
+    # stencil (ops/exact_stencil.py) restores ~1e-8-class accuracy at df
+    # speed. Requires df_operator mode.
+    def _ensure_exact_stencil(self):
+        if hasattr(self, "_exact_st"):
+            return
+        from fem_shell_tpu.ops.exact_stencil import build_exact_stencil, class_flat_tables
+
+        st = build_exact_stencil(
+            self._fine_mesh, self.material, self.levels[0].offsets
+        )
+        self._exact_st = st
+        tfl0, tfl1, tfl2, cls_flat = class_flat_tables(st)
+        self._tabs = {
+            "tfl0": jnp.asarray(tfl0),
+            "tfl1": jnp.asarray(tfl1),
+            "tfl2": jnp.asarray(tfl2),
+            "cls": jnp.asarray(cls_flat),
+            "t0": jnp.asarray(st.t0),
+            "t1": jnp.asarray(st.t1),
+            "t2": jnp.asarray(st.t2),
+            "cy": jnp.asarray(st.cy_idx),
+            "cx": jnp.asarray(st.cx_idx),
+        }
+
+    def _ensure_class_pair(self):
+        """Replace the assembled fine df pair with the class-table
+        generated one (identical physics, class-consistent rounding): the
+        refinement correction operator E = A_true - A_df then equals the
+        t2 table exactly."""
+        if getattr(self, "_class_pair_done", False):
+            return
+        self._ensure_exact_stencil()
+        from fem_shell_tpu.ops.df import DF
+        from fem_shell_tpu.ops.exact_stencil import class_pair_flat, class_pair_tiled
+
+        fine = self.levels[0]
+        tiled = self._fine_df.hi.ndim == 4
+        r_tile = int(self._fine_df.hi.shape[2]) if tiled else 0
+        # free the assembled pair BEFORE generating: two pairs cannot
+        # coexist in HBM at the 10M-element scale
+        self.levels[0] = dataclasses.replace(fine, values=None)
+        self._fine_df = None
+        if tiled:
+            hi, lo = jax.jit(class_pair_tiled, static_argnums=(3, 4))(
+                self._tabs["tfl0"], self._tabs["tfl1"], self._tabs["cls"],
+                fine.npad, r_tile,
+            )
+        else:
+            hi, lo = jax.jit(class_pair_flat, static_argnums=(3,))(
+                self._tabs["tfl0"], self._tabs["tfl1"], self._tabs["cls"], fine.npad
+            )
+        self._fine_df = DF(hi, lo)
+        diag = self._diag_of(hi, fine.offsets)
+        self.levels[0] = dataclasses.replace(
+            self.levels[0],
+            inv_diag=jnp.where(diag != 0, 1.0 / diag, 1.0),
+        )
+        self._fine = self.levels[0]
+        self._class_pair_done = True
+
+    def _inner_df_impl(self, fine_df, levels, b, rtol, maxiter):
+        """MG-preconditioned df CG with a df RHS (shared by the initial
+        solve and every refinement correction solve)."""
+        from fem_shell_tpu.ops.df import DF, df_stencil_matvec
+        from fem_shell_tpu.solver_df import pcg_df
+
+        fine = dataclasses.replace(levels[0], values=fine_df.hi)
+        levels = [fine] + list(levels[1:])
+        if fine_df.hi.ndim == 4:
+            from fem_shell_tpu.ops.pallas_spmv_df import stencil_spmv_pallas_df
+
+            mv = lambda x: stencil_spmv_pallas_df(fine_df.hi, fine_df.lo, x, fine.offsets)  # noqa: E731
+        elif self.use_pallas:
+            from fem_shell_tpu.ops.pallas_spmv_df import stencil_spmv_pallas_df_flat
+
+            mv = lambda x: stencil_spmv_pallas_df_flat(fine_df, x, fine.offsets)  # noqa: E731
+        else:
+            mv = lambda x: df_stencil_matvec(fine_df, x, fine.offsets)  # noqa: E731
+
+        def prec(r):
+            z32 = self._vcycle(levels, 0, r.hi)
+            return DF(z32, jnp.zeros_like(z32))
+
+        res = pcg_df(mv, b, rtol=rtol, maxiter=maxiter, apply_prec=prec)
+        return res.x, res.iters, res.residual
+
+    def _refine_residual_impl(self, fine_df, tabs, x, b):
+        """True residual r = b - A_true x and its relative norm. Pallas
+        path: tf (compensated) SpMV on the class pair + plain-f32 t2
+        correction; XLA path: full class-table EFT residual."""
+        from fem_shell_tpu.ops.df import DF, df_add, df_dot_f64, df_neg
+        from fem_shell_tpu.ops.exact_stencil import (
+            class_stencil_matvec_f32,
+            exact_residual_df,
+        )
+
+        fine = self.levels[0]
+        nyp, nxp, npad = fine.nyp, fine.nxp, fine.npad
+        offs2d = self._exact_st.offs2d
+        if self.use_pallas:
+            if fine_df.hi.ndim == 4:
+                from fem_shell_tpu.ops.pallas_spmv_df import stencil_spmv_pallas_df
+
+                y = stencil_spmv_pallas_df(fine_df.hi, fine_df.lo, x, fine.offsets, tf=True)
+            else:
+                from fem_shell_tpu.ops.pallas_spmv_df import stencil_spmv_pallas_df_flat
+
+                y = stencil_spmv_pallas_df_flat(fine_df, x, fine.offsets, tf=True)
+            r = df_add(b, df_neg(y))
+            n = nyp * nxp
+            xg = x.hi[:, :n].reshape(6, nyp, nxp)
+            ey = class_stencil_matvec_f32(tabs["tfl2"], tabs["cls"], offs2d, xg, nyp, nxp)
+            eyf = jnp.pad(ey.reshape(6, n), ((0, 0), (0, npad - n)))
+            r = df_add(r, DF(-eyf, jnp.zeros_like(eyf)))
+        else:
+            r = exact_residual_df(
+                tabs["t0"], tabs["t1"], tabs["t2"], tabs["cy"], tabs["cx"],
+                x, b, offs2d, nyp, nxp,
+            )
+        rn = jnp.sqrt(df_dot_f64(r, r))
+        bn = jnp.sqrt(df_dot_f64(b, b))
+        return r, rn / bn
+
+    def solve_df_refined(
+        self,
+        forces,
+        rtol: float = 1e-9,
+        maxiter: int = 600,
+        n_refine: int = 6,
+        inner_rtol: float = 1e-5,
+        inner_maxiter: int = 200,
+        verbose: bool = False,
+    ):
+        """df MG-CG + exact-stencil iterative refinement: solve to the
+        TRUE residual (vs the longdouble class-table operator) below
+        ``rtol``. The inner solves only need ``inner_rtol`` — refinement
+        contracts the error by that factor per outer pass, so the total
+        iteration count is comparable to one tight solve while the
+        accuracy floor drops from ~kappa*eps49 to ~1e-8-class."""
+        if not self.df_operator:
+            raise ValueError("solve_df_refined requires df_operator=True")
+        self._ensure_class_pair()
+        from fem_shell_tpu.ops.df import df_add, df_from_f64, df_to_f64
+
+        fine = self._fine
+        n = fine.nyp * fine.nxp
+        f = np.zeros((fine.npad, 6))
+        f[:n] = np.asarray(forces)
+        f_t = jnp.asarray(f.T, jnp.float64)
+        if not hasattr(self, "_inner_df_jit"):
+            # rtol/maxiter stay DYNAMIC (traced scalars): the initial
+            # solve and every refinement solve share ONE compiled CG
+            # program — remote compiles cost minutes each
+            self._inner_df_jit = jax.jit(self._inner_df_impl)
+            self._residual_jit = jax.jit(self._refine_residual_impl)
+            self._b_jit = jax.jit(
+                lambda ft, free: df_from_f64(ft * free.astype(jnp.float64))
+            )
+            self._xadd_jit = jax.jit(df_add)
+            self._to64_jit = jax.jit(df_to_f64)
+        levels_arg = [dataclasses.replace(self.levels[0], values=None)] + list(
+            self.levels[1:]
+        )
+        with jax.default_matmul_precision("highest"):
+            b = self._b_jit(f_t, fine.free_t)
+            x, it0, _ = self._inner_df_jit(
+                self._fine_df, levels_arg, b, float(inner_rtol), int(maxiter)
+            )
+            total = int(it0)
+            hist = []
+            for _ in range(n_refine):
+                r, rn = self._residual_jit(self._fine_df, self._tabs, x, b)
+                rn = float(rn)
+                hist.append(rn)
+                if verbose:
+                    print(f"  refine: true residual {rn:.3e} ({total} inner iters)",
+                          flush=True)
+                if rn < rtol or not np.isfinite(rn):
+                    break
+                if len(hist) > 1 and rn > 0.5 * hist[-2]:
+                    break  # stalled at the residual-evaluation floor
+                d, itk, _ = self._inner_df_jit(
+                    self._fine_df, levels_arg, r, float(inner_rtol), int(inner_maxiter)
+                )
+                x = self._xadd_jit(x, d)
+                total += int(itk)
+            x64 = self._to64_jit(x)
+        self.last_iters = total
+        self.last_residual = hist[-1] if hist else float("nan")
+        self.refine_history = hist
+        return np.asarray(x64).T[:n]
+
+    # ------------------------------------------------------------------
+    # fused single-dispatch path (small structured meshes): ONE jitted
+    # program per call re-assembles every level in emulated f64, builds
+    # the full preconditioner (Jacobi diagonals, per-level omega power
+    # iterations, device-resident coarse Cholesky), and runs the df CG.
+    # On the remote accelerator the per-stage host round-trips dominate
+    # Test-G-class wall time; this path has exactly one dispatch and one
+    # fetch per rep (reference timing scope: assembly + solver,
+    # doc/validation.tex:500-537).
+    def _fused_impl(self, coords_list, tables_list, forces_t, rtol, maxiter, arith):
+        from fem_shell_tpu.ops.df import DF, df_from_f64, df_stencil_matvec, df_to_f64
+        from fem_shell_tpu.solver_df import pcg_df
+
+        levels32 = []
+        fine_df = None
+        fine64 = None
+        for l, sys_l in enumerate(self._systems):
+            v64 = sys_l._assemble_impl(coords_list[l], tables_list[l])
+            diag = soa_diagonal(v64, offsets=sys_l.offsets)
+            base = self.levels[l]
+            if l == 0:
+                fine64 = v64
+                if arith == "df":
+                    fine_df = df_from_f64(v64)
+            lvl = dataclasses.replace(
+                base,
+                values=v64.astype(jnp.float32),
+                free_t=base.free_t.astype(jnp.float32),
+                inv_diag=jnp.where(diag != 0, 1.0 / diag, 1.0).astype(jnp.float32),
+            )
+            if l == self.n_levels - 1:
+                n_real = lvl.nyp * lvl.nxp
+                dense = _densify(dataclasses.replace(lvl, values=v64))
+                d = jnp.diagonal(dense)
+                s = jnp.where(d > 0, 1.0 / jnp.sqrt(d), 1.0)
+                scaled = (dense * s[None, :] * s[:, None]).astype(jnp.float32)
+                lvl = dataclasses.replace(
+                    lvl,
+                    chol=jnp.linalg.cholesky(scaled),
+                    chol_scale=s.astype(jnp.float32),
+                )
+            else:
+                lam = self._power_lambda(lvl)
+                lvl = dataclasses.replace(
+                    lvl, omega=jnp.clip(4.0 / (3.0 * lam), 0.2, 1.0)
+                )
+            levels32.append(lvl)
+
+        fine = levels32[0]
+        b64 = forces_t * self.levels[0].free_t
+        if arith == "df":
+            b = df_from_f64(b64)
+            mv = lambda x: df_stencil_matvec(fine_df, x, fine.offsets)  # noqa: E731
+
+            def prec(r):
+                z32 = self._vcycle(levels32, 0, r.hi)
+                return DF(z32, jnp.zeros_like(z32))
+
+            res = pcg_df(mv, b, rtol=rtol, maxiter=maxiter, apply_prec=prec)
+            return df_to_f64(res.x), res.iters, res.residual
+        # f64 CG fallback: platforms whose compiler breaks the barrier-free
+        # EFT chains (CPU LLVM FMA contraction) still exercise the whole
+        # fused program — assembly, omega, coarse Cholesky, V-cycle.
+        mv64 = lambda x: soa_matvec(fine64, x, offsets=fine.offsets)  # noqa: E731
+
+        def prec64(r):
+            return self._vcycle(levels32, 0, r.astype(jnp.float32)).astype(jnp.float64)
+
+        res = pcg(mv64, b64, rtol=rtol, maxiter=maxiter, apply_prec=prec64)
+        return res.x, res.iters, res.residual
+
+    def _ensure_fused(self, arith: str):
+        if getattr(self, "_fused_ready", None) == arith:
+            return
+        import functools
+
+        if self.dtype != jnp.float64:
+            raise ValueError("solve_fused assembles levels in f64: construct "
+                             "MultigridShellSystem(..., dtype=jnp.float64, assemble=False)")
+        self._fused_coords = [s.coords for s in self._systems]
+        self._fused_tables = [s._tables for s in self._systems]
+        self._fused_jit = jax.jit(
+            functools.partial(self._fused_impl, arith=arith), static_argnums=(4,)
+        )
+        self._fused_ready = arith
+
+    def solve_fused(self, forces, rtol: float = 1e-9, maxiter: int = 400,
+                    arith: str = "df"):
+        """Assembly + preconditioner setup + solve in a single jitted
+        dispatch. ``arith='df'`` (TPU) runs the double-float CG over the
+        df pair of the f64-assembled fine operator; ``arith='f64'`` runs
+        plain f64 CG (CPU-safe). Returns displacements [n_nodes, 6]."""
+        self._ensure_fused(arith)
+        lvl = self._fine
+        f = np.zeros((lvl.npad, 6))
+        f[: lvl.nyp * lvl.nxp] = np.asarray(forces)
+        f_t = jnp.asarray(f.T, jnp.float64)
+        with jax.default_matmul_precision("highest"):
+            x64, iters, res = self._fused_jit(
+                self._fused_coords, self._fused_tables, f_t, rtol, maxiter
+            )
         self.last_iters = int(iters)
         self.last_residual = float(res)
         return np.asarray(x64).T[: lvl.nyp * lvl.nxp]

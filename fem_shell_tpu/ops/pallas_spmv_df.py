@@ -77,7 +77,20 @@ def prepare_tiled_values_df(values: DF, r_tile: int = 8) -> Tuple[jnp.ndarray, j
     return tile(values.hi), tile(values.lo), r
 
 
-def _kernel(offsets, k, r_tile, hr, x_hbm, vh_ref, vl_ref, out_ref, x_vmem, sem, tiled=True):
+def _acc4_add(acc, big, mid, small):
+    """4-level compensated accumulation: every drop is ~2^-72 of the
+    largest partial magnitude (vs ~2^-48 for the plain df renorm add) —
+    the accumulator behind the tf (compensated) SpMV used by
+    iterative-refinement residuals (ops/exact_stencil.py error budget)."""
+    a0, a1, a2, a3 = acc
+    s0, c0 = _two_sum(a0, big)
+    s1, c1 = _two_sum(a1, c0)
+    s1, c2 = _two_sum(s1, mid)
+    s2, c3 = _two_sum(a2, (c1 + c2) + small)
+    return (s0, s1, s2, a3 + c3)
+
+
+def _kernel(offsets, k, r_tile, hr, x_hbm, vh_ref, vl_ref, out_ref, x_vmem, sem, tiled=True, tf=False):
     i = pl.program_id(0)
     n_tiles = pl.num_programs(0)
     win_rows = r_tile + 2 * hr
@@ -119,8 +132,12 @@ def _kernel(offsets, k, r_tile, hr, x_hbm, vh_ref, vl_ref, out_ref, x_vmem, sem,
             slabs.append(jnp.where(lane < LANES - m, a_rows, b_rows))
 
     for a in range(6):
-        acc_h = jnp.zeros((r_tile, LANES), jnp.float32)
-        acc_l = jnp.zeros((r_tile, LANES), jnp.float32)
+        if tf:
+            z = jnp.zeros((r_tile, LANES), jnp.float32)
+            acc = (z, z, z, z)
+        else:
+            acc_h = jnp.zeros((r_tile, LANES), jnp.float32)
+            acc_l = jnp.zeros((r_tile, LANES), jnp.float32)
         for s in range(len(offsets)):
             slab = slabs[s]
             for b in range(6):
@@ -132,21 +149,38 @@ def _kernel(offsets, k, r_tile, hr, x_hbm, vh_ref, vl_ref, out_ref, x_vmem, sem,
                     vl = vl_ref[(a * 6 + b) * k + s, :, :]
                 xh = slab[b]
                 xl = slab[8 + b]
+                if tf:
+                    # every f32xf32 product pair is Dekker-exact; only
+                    # vl*xl (2^-48-level) stays plain
+                    p0, e0 = _two_prod(vh, xh)
+                    p1, e1 = _two_prod(vh, xl)
+                    p2, e2 = _two_prod(vl, xh)
+                    p3 = vl * xl
+                    acc = _acc4_add(acc, p0, (e0 + p1) + p2, (e1 + e2) + p3)
+                    continue
                 p, pe = _two_prod(vh, xh)
                 pe = pe + (vh * xl + vl * xh)
                 # renormalized df add of (p, pe) into (acc_h, acc_l)
                 sh, se = _two_sum(acc_h, p)
                 se = se + (acc_l + pe)
                 acc_h, acc_l = _two_sum(sh, se)
+        if tf:
+            s0, s1, s2, s3 = acc
+            h1, c1 = _two_sum(s0, s1)
+            h2, c2 = _two_sum(h1, s2)
+            acc_h, acc_l = _two_sum(h2, (c1 + c2) + s3)
         out_ref[0, a, :, :] = acc_h
         out_ref[1, a, :, :] = acc_l
 
 
 def stencil_spmv_pallas_df(
-    vh_tiled, vl_tiled, x: DF, offsets: Sequence[int], interpret: bool = False
+    vh_tiled, vl_tiled, x: DF, offsets: Sequence[int], interpret: bool = False,
+    tf: bool = False,
 ) -> DF:
     """y = A x with A the tile-major df pair (prepare_tiled_values_df)
-    and x, y df vectors [6, Npad]."""
+    and x, y df vectors [6, Npad]. ``tf=True`` switches to the 4-level
+    compensated accumulator (~2^-70 accumulation error) for
+    iterative-refinement residual evaluation."""
     ntiles, rows36k, r_tile, _ = vh_tiled.shape
     offsets = tuple(int(o) for o in offsets)
     k = len(offsets)
@@ -168,7 +202,7 @@ def stencil_spmv_pallas_df(
         axis=0,
     )
 
-    kernel = functools.partial(_kernel, offsets, k, r_tile, hr)
+    kernel = functools.partial(_kernel, offsets, k, r_tile, hr, tf=tf)
     y2 = pl.pallas_call(
         kernel,
         grid=(ntiles,),
@@ -199,7 +233,8 @@ def stencil_spmv_pallas_df(
 
 
 def stencil_spmv_pallas_df_flat(
-    values: DF, x: DF, offsets: Sequence[int], r_tile: int = 8, interpret: bool = False
+    values: DF, x: DF, offsets: Sequence[int], r_tile: int = 8, interpret: bool = False,
+    tf: bool = False,
 ) -> DF:
     """y = A x with A the FLAT df pair [36K, Npad] — no tile-major
     relayout. The tiled variant streams one contiguous block per grid
@@ -233,7 +268,7 @@ def stencil_spmv_pallas_df_flat(
     vh3 = values.hi.reshape(36 * k, nr, LANES)
     vl3 = values.lo.reshape(36 * k, nr, LANES)
 
-    kernel = functools.partial(_kernel_flat, offsets, k, r_tile, hr)
+    kernel = functools.partial(_kernel_flat, offsets, k, r_tile, hr, tf=tf)
     y2 = pl.pallas_call(
         kernel,
         grid=(nr // r_tile,),
@@ -259,5 +294,5 @@ def stencil_spmv_pallas_df_flat(
     return DF(y2[0].reshape(6, npad), y2[1].reshape(6, npad))
 
 
-def _kernel_flat(offsets, k, r_tile, hr, x_hbm, vh_ref, vl_ref, out_ref, x_vmem, sem):
-    _kernel(offsets, k, r_tile, hr, x_hbm, vh_ref, vl_ref, out_ref, x_vmem, sem, tiled=False)
+def _kernel_flat(offsets, k, r_tile, hr, x_hbm, vh_ref, vl_ref, out_ref, x_vmem, sem, tf=False):
+    _kernel(offsets, k, r_tile, hr, x_hbm, vh_ref, vl_ref, out_ref, x_vmem, sem, tiled=False, tf=tf)
