@@ -6,14 +6,17 @@ q=300, E=1e7, nu=0.3, t=0.5 -> Quad-4: 4096 elements / 4225 nodes /
 (assembly + PETSc solve, 1 process, avg of 5) is 34.83 s for Quad-4 and
 52.52 s for Tri-3 (doc/validation.tex:523-539).
 
-We time the same thing with the production configuration: strip-df
-operator assembly (two-float32 pair, ~eps64 entrywise; ops/soa.py) +
-geometric-multigrid-preconditioned double-float CG (mg.py). Every timed
-rep includes a FULL reassembly of all grid levels plus the solve, so
+We time the same thing with the fused single-dispatch configuration
+(mg.solve_fused): every timed rep is ONE jitted program that
+re-assembles every multigrid level in emulated f64, rebuilds the full
+preconditioner (Jacobi diagonals, per-level damping power iterations,
+device-resident coarse Cholesky), and runs the double-float MG-CG —
 "overall" covers the same work as the reference's assembly+solver
-timers. The center deflection is verified against the golden value
-before reporting. Falls back to the Jacobi double-float path, then to
-emulated f64, if the preferred path fails on this device/toolchain.
+timers with exactly one dispatch + one device->host fetch per rep (the
+honest timing scope for this remote platform). The center deflection is
+verified against the golden value before reporting. Falls back to the
+multi-dispatch MG-df path, then Jacobi-df, then emulated f64, if the
+preferred path fails on this device/toolchain.
 
 Prints ONE JSON line:
   {"metric": "testG_quad_overall_s", "value": <s>, "unit": "s",
@@ -56,6 +59,17 @@ def bench_case(et: str):
     forces = rows * fac
     center = mesh.n_nodes // 2
 
+    def run_fused():
+        from fem_shell_tpu.mg import MultigridShellSystem
+
+        mg = MultigridShellSystem(mesh, MAT, dtype=jnp.float64, assemble=False)
+        mg.solve_fused(forces, rtol=RTOL, maxiter=400)  # warm-up/compile
+
+        def rep():
+            return mg.solve_fused(forces, rtol=RTOL, maxiter=400)
+
+        return rep, mg
+
     def run_mg():
         from fem_shell_tpu.mg import MultigridShellSystem
 
@@ -93,7 +107,12 @@ def bench_case(et: str):
         rep()
         return rep, system
 
-    for label, factory in (("mg-df", run_mg), ("jacobi-df", run_jacobi_df), ("f64", run_f64)):
+    for label, factory in (
+        ("fused-mg-df", run_fused),
+        ("mg-df", run_mg),
+        ("jacobi-df", run_jacobi_df),
+        ("f64", run_f64),
+    ):
         try:
             rep, holder = factory()
             u = rep()

@@ -338,15 +338,18 @@ def class_pair_tiled(tfl0, tfl1, cls_flat, npad: int, r_tile: int):
     """Device: class-consistent df pair directly in the Pallas tile-major
     layout [ntiles, 36K, r, 128] — generated tile-by-tile (lax.map) so no
     flat-layout copy is ever materialized (the pair is most of HBM at
-    the 10M-element scale)."""
+    the 10M-element scale). Padded rows use a sentinel all-zero class
+    (matching class_pair_flat's zero padding)."""
     lanes = 128
     n = cls_flat.shape[0]
-    cls_pad = jnp.pad(cls_flat, (0, npad - n))
+    # sentinel class P*P -> appended zero column
+    cls_pad = jnp.pad(cls_flat, (0, npad - n), constant_values=_P * _P)
     ntiles = npad // (r_tile * lanes)
     cls_tiled = cls_pad.reshape(ntiles, r_tile, lanes)
 
     def gen(t):
-        return jax.lax.map(lambda c: t[:, c], cls_tiled)
+        tz = jnp.pad(t, ((0, 0), (0, 1)))
+        return jax.lax.map(lambda c: tz[:, c], cls_tiled)
 
     return gen(tfl0), gen(tfl1)
 
