@@ -1,0 +1,223 @@
+"""Standalone TPU-gated test runner.
+
+WHY: under pytest the parent session holds the single-client axon TPU
+tunnel (sitecustomize opens it at interpreter start), so the TPU-gated
+tests' subprocesses fall back to CPU and silently skip. This runner is
+executed OUTSIDE pytest — each check runs in its own clean subprocess
+that gets the chip — and is the round's on-device evidence for the EFT
+kernel stack (bench.py golden checks are the indirect evidence).
+
+Checks:
+  1. pallas-f32   — Pallas stencil SpMV (plain + tiled) vs XLA parity
+  2. dfk          — df-jaxpr element kernel parity (tests/test_dfk.py)
+  3. pallas-df    — Pallas df SpMV (flat + tf compensated) vs XLA df +
+                    tf accuracy vs the longdouble class-table oracle
+  4. mg-df        — MG-df Test-G golden (multi-dispatch + fused paths)
+  5. refined      — exact-stencil iterative refinement: true residual
+                    below rtol, golden center deflection (n=192 tri)
+
+Usage: python tools/run_tpu_tests.py [check ...]   (default: all)
+Exit code 0 = all green; each check's stdout is streamed to the log.
+"""
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+_PALLAS_DF_SCRIPT = r"""
+import os
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+import jax
+jax.config.update("jax_enable_x64", True)
+import jax.numpy as jnp
+import numpy as np
+if jax.devices()[0].platform == "cpu":
+    print("SKIP: no accelerator")
+    raise SystemExit(0)
+from fem_shell_tpu.materials import Material
+from fem_shell_tpu.meshgen import MeshGenParams, generate
+from fem_shell_tpu.large import LargeShellSystem
+from fem_shell_tpu.ops.df import DF, df_from_f64, df_stencil_matvec, df_to_f64
+from fem_shell_tpu.ops.pallas_spmv_df import (
+    prepare_tiled_values_df, stencil_spmv_pallas_df, stencil_spmv_pallas_df_flat)
+from fem_shell_tpu.ops.exact_stencil import build_exact_stencil, exact_matvec_f64
+
+pm = MeshGenParams("q", 64, 64, 0, 0, 10, 10, (0, 0, 0, 0), 300.0, 2, True, "z")
+mesh, _, _ = generate(pm)
+s = LargeShellSystem(mesh, Material(0.3, 1e7, 0.5), dtype=jnp.float32)
+pair, _ = s.assemble_df(with_diag=True)
+rng = np.random.default_rng(0)
+npad = s.pattern.n_pad
+x64 = rng.normal(size=(6, npad))
+x = df_from_f64(jnp.asarray(x64))
+with jax.default_matmul_precision("highest"):
+    ref = np.asarray(df_to_f64(jax.jit(
+        lambda v, x: df_stencil_matvec(v, x, s.offsets))(pair, x)))
+    got_f = np.asarray(df_to_f64(jax.jit(
+        lambda v, x: stencil_spmv_pallas_df_flat(v, x, s.offsets))(pair, x)))
+    vh, vl, r = prepare_tiled_values_df(pair)
+    got_t = np.asarray(df_to_f64(jax.jit(
+        lambda vh, vl, x: stencil_spmv_pallas_df(vh, vl, x, s.offsets))(vh, vl, x)))
+    got_tf = np.asarray(df_to_f64(jax.jit(
+        lambda v, x: stencil_spmv_pallas_df_flat(v, x, s.offsets, tf=True))(pair, x)))
+scale = np.abs(ref).max()
+for name, g in (("flat", got_f), ("tiled", got_t), ("tf", got_tf)):
+    err = np.abs(g - ref).max() / scale
+    print(f"{name} vs XLA df: rel {err:.2e}")
+    assert err < 1e-9, f"{name} kernel mismatch: {err}"
+
+# tf ACCURACY: against the longdouble class-table oracle on the
+# class-generated pair the accumulation error must be ~2^-70-class,
+# i.e. orders below the plain df accumulation (~2^-40 of term scale).
+from fem_shell_tpu.ops.exact_stencil import class_flat_tables, class_pair_flat
+st = build_exact_stencil(mesh, Material(0.3, 1e7, 0.5), s.offsets)
+tfl0, tfl1, tfl2, cls = class_flat_tables(st)
+hi, lo = class_pair_flat(jnp.asarray(tfl0), jnp.asarray(tfl1), jnp.asarray(cls), npad)
+cpair = DF(hi, lo)
+with jax.default_matmul_precision("highest"):
+    y_df = np.asarray(df_to_f64(jax.jit(
+        lambda v, x: stencil_spmv_pallas_df_flat(v, x, s.offsets))(cpair, x)))
+    y_tf = np.asarray(df_to_f64(jax.jit(
+        lambda v, x: stencil_spmv_pallas_df_flat(v, x, s.offsets, tf=True))(cpair, x)))
+# oracle: direct longdouble matvec on the EXACT pair values (hi+lo);
+# error scale = the per-node sum of |terms| (what accumulation error is
+# proportional to)
+LD = np.longdouble
+vals_ld = (np.asarray(hi, np.float64) + np.asarray(lo, np.float64)).astype(LD)
+x_exact = (np.asarray(x.hi, np.float64) + np.asarray(x.lo, np.float64)).astype(LD)
+k = len(s.offsets)
+y_ld = np.zeros((6, npad), LD)
+tsum = np.zeros((6, npad), np.float64)
+v6 = vals_ld.reshape(6, 6, k, npad)
+for si, off in enumerate(s.offsets):
+    xs = np.roll(x_exact, -int(off), axis=1)
+    for b in range(6):
+        term = v6[:, b, si, :] * xs[b][None]
+        y_ld += term
+        tsum += np.abs(term.astype(np.float64))
+term_scale = float(tsum.max())
+err_df = float(np.max(np.abs((y_df - y_ld).astype(np.float64)))) / term_scale
+err_tf = float(np.max(np.abs((y_tf - y_ld).astype(np.float64)))) / term_scale
+print(f"accumulation error vs ld oracle: df {err_df:.2e}  tf {err_tf:.2e}")
+assert err_tf < 1e-17, f"tf accumulation not compensated: {err_tf}"
+assert err_tf < err_df / 10, "tf should beat plain df accumulation"
+print("OK")
+"""
+
+_MGDF_SCRIPT = r"""
+import os
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+import jax
+jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+import jax.numpy as jnp
+import numpy as np
+if jax.devices()[0].platform == "cpu":
+    print("SKIP: no accelerator")
+    raise SystemExit(0)
+from fem_shell_tpu.materials import Material
+from fem_shell_tpu.meshgen import MeshGenParams, generate
+from fem_shell_tpu.mg import MultigridShellSystem
+mat = Material(0.3, 1e7, 0.5)
+p = MeshGenParams("q", 64, 64, 0, 0, 10, 10, (0, 0, 0, 0), 300.0, 2, True, "z")
+mesh, rows, fac = generate(p)
+forces = rows * fac
+mg = MultigridShellSystem(mesh, mat, dtype=jnp.float32, df_operator=True)
+u = mg.solve_df(forces, rtol=1e-9, maxiter=400)
+w = float(u[mesh.n_nodes // 2, 2])
+err = abs(w - 0.106465) / 0.106465
+print(f"solve_df: iters {mg.last_iters} res {mg.last_residual:.2e} w {w:.6f} err {err:.2e}")
+assert err < 1e-4
+mgf = MultigridShellSystem(mesh, mat, dtype=jnp.float64, assemble=False)
+uf = mgf.solve_fused(forces, rtol=1e-9, maxiter=400)
+wf = float(uf[mesh.n_nodes // 2, 2])
+errf = abs(wf - 0.106465) / 0.106465
+print(f"solve_fused: iters {mgf.last_iters} res {mgf.last_residual:.2e} w {wf:.6f} err {errf:.2e}")
+assert errf < 1e-4
+print("OK")
+"""
+
+_REFINED_SCRIPT = r"""
+import os
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+import jax
+jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+import jax.numpy as jnp
+import numpy as np
+if jax.devices()[0].platform == "cpu":
+    print("SKIP: no accelerator")
+    raise SystemExit(0)
+from fem_shell_tpu.materials import Material
+from fem_shell_tpu.meshgen import MeshGenParams, generate
+from fem_shell_tpu.mg import MultigridShellSystem
+mat = Material(0.3, 1e7, 0.5)
+p = MeshGenParams("t", 192, 192, 0, 0, 10, 10, (0, 0, 0, 0), 300.0, 2, True, "z")
+mesh, rows, fac = generate(p)
+mg = MultigridShellSystem(mesh, mat, dtype=jnp.float32, df_operator=True)
+u = mg.solve_df_refined(rows * fac, rtol=1e-9, verbose=True)
+w = float(u[mesh.n_nodes // 2, 2])
+err = abs(w - 0.1064045) / 0.1064045
+print(f"refined: inner iters {mg.last_iters} true res {mg.last_residual:.2e} w {w:.7f} err {err:.2e}")
+assert mg.last_residual < 1e-9, "true residual did not reach rtol on TPU"
+assert err < 3e-4  # n=192 discretization + golden window
+print("OK")
+"""
+
+
+def checks():
+    from test_dfk import _TPU_PARITY_SCRIPT as dfk_script
+    from test_pallas_spmv import _TPU_PARITY_SCRIPT as pallas_script
+
+    return {
+        "pallas-f32": pallas_script,
+        "dfk": dfk_script,
+        "pallas-df": _PALLAS_DF_SCRIPT,
+        "mg-df": _MGDF_SCRIPT,
+        "refined": _REFINED_SCRIPT,
+    }
+
+
+def main():
+    sel = sys.argv[1:]
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("PYTHONPATH", None)  # a PYTHONPATH entry breaks axon registration
+    env.pop("XLA_FLAGS", None)
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    results = {}
+    for name, script in checks().items():
+        if sel and name not in sel:
+            continue
+        print(f"=== {name} ===", flush=True)
+        t0 = time.perf_counter()
+        proc = subprocess.run(
+            [sys.executable, "-c", script],
+            env=env, cwd=REPO, text=True, capture_output=True, timeout=3600,
+        )
+        dt = time.perf_counter() - t0
+        out = proc.stdout.strip()
+        print(out, flush=True)
+        if proc.returncode != 0:
+            print(proc.stderr[-3000:], flush=True)
+            results[name] = "FAIL"
+        elif "SKIP" in out:
+            results[name] = "SKIP (no accelerator)"
+        else:
+            results[name] = f"ok ({dt:.0f} s)"
+    print("\n=== summary ===")
+    bad = False
+    for name, r in results.items():
+        print(f"{name:12s} {r}")
+        bad |= r == "FAIL" or "SKIP" in r
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()
