@@ -1,0 +1,444 @@
+"""Smoothed-aggregation AMG over the 6x6 block structure — the
+mesh-independent preconditioner for UNSTRUCTURED shell meshes.
+
+The geometric multigrid (mg.py) needs a detected row-major grid; libMesh
++PETSc handle arbitrary meshes as the default
+(/root/reference/doc/implementation.tex:11,463-486). This module closes
+that gap the algebraic way:
+
+- setup (host, numpy): greedy node aggregation on the block-sparsity
+  graph; tentative prolongator from the per-aggregate QR of the rigid-
+  body-mode nullspace (6 candidates: 3 translations + 3 rotations, the
+  shell analog of elasticity SA); Jacobi-smoothed P; Galerkin RAP by
+  sorted key reduction (chunked — no scipy dependency);
+- solve (device, jit): V-cycle with damped block-Jacobi(6x6) smoothing,
+  gather-based P / scatter-based P^T, dense-Cholesky coarsest level, as
+  an SPD preconditioner inside CG.
+
+Usage: ``AMGShellSystem(mesh, material).solve(forces)`` for any mesh the
+gather-mode SoA assembler accepts (ops/soa.py general mode).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fem_shell_tpu.materials import Material
+from fem_shell_tpu.mesh import ShellMesh
+from fem_shell_tpu.solver import CGResult, pcg
+
+
+# ----------------------------------------------------------------------
+# host-side setup
+# ----------------------------------------------------------------------
+
+
+def _block_graph(adj, n):
+    """Neighbor lists (excluding self) from the ELL adjacency [n, K]."""
+    nbrs = []
+    for i in range(n):
+        row = adj[i]
+        nbrs.append(row[(row != i) & (row < n)])
+    return nbrs
+
+
+def _strong_graph(lvl: "_HostLevel", theta: float):
+    """Strength-filtered neighbor lists: keep edge (i, j) when
+    ||A_ij||_F >= theta * sqrt(||A_ii||_F ||A_jj||_F)."""
+    n = lvl.n
+    fro = np.sqrt((lvl.blocks**2).sum(axis=(2, 3)))  # [n, K]
+    self_slot = np.argmax(lvl.adj == np.arange(n)[:, None], axis=1)
+    dia = fro[np.arange(n), self_slot]
+    dia = np.where(dia > 0, dia, 1.0)
+    nbrs = []
+    for i in range(n):
+        row = lvl.adj[i]
+        ok = (row != i) & (row < n)
+        j = row[ok]
+        s = fro[i, ok] >= theta * np.sqrt(dia[i] * dia[j])
+        nbrs.append(j[s])
+    return nbrs
+
+
+def aggregate(adj, n, nbrs=None) -> np.ndarray:
+    """Greedy root aggregation (standard SA): pass 1 seeds aggregates at
+    nodes whose neighborhood is untouched; pass 2 attaches leftovers to
+    an adjacent aggregate; pass 3 makes singletons."""
+    agg = np.full(n, -1, np.int64)
+    n_agg = 0
+    if nbrs is None:
+        nbrs = _block_graph(adj, n)
+    for i in range(n):
+        if agg[i] < 0 and (agg[nbrs[i]] < 0).all():
+            agg[i] = n_agg
+            agg[nbrs[i]] = n_agg
+            n_agg += 1
+    for i in range(n):
+        if agg[i] < 0:
+            owned = agg[nbrs[i]]
+            owned = owned[owned >= 0]
+            if len(owned):
+                agg[i] = owned[0]
+    for i in range(n):
+        if agg[i] < 0:
+            agg[i] = n_agg
+            n_agg += 1
+    return agg, n_agg
+
+
+def _rigid_modes(coords) -> np.ndarray:
+    """[n, 6, 6] rigid-body nullspace candidates (about the origin):
+    columns = (Tx, Ty, Tz, Rx, Ry, Rz); rows = (u, v, w, tx, ty, tz)."""
+    n = len(coords)
+    b = np.zeros((n, 6, 6))
+    x, y, z = coords[:, 0], coords[:, 1], coords[:, 2]
+    for c in range(3):
+        b[:, c, c] = 1.0  # translations
+        b[:, 3 + c, 3 + c] = 1.0  # rotations map to rotations
+    # u += Ry*z - Rz*y ; v += Rz*x - Rx*z ; w += Rx*y - Ry*x
+    b[:, 0, 4] = z
+    b[:, 0, 5] = -y
+    b[:, 1, 5] = x
+    b[:, 1, 3] = -z
+    b[:, 2, 3] = y
+    b[:, 2, 4] = -x
+    return b
+
+
+def _tentative(nullspace, agg, n_agg):
+    """Per-aggregate QR of the stacked nullspace rows.
+
+    Returns (p0_blocks [n, 6, 6], coarse nullspace [n_agg, 6, 6]):
+    P0[i] maps aggregate-coarse dofs -> node i dofs; rank-deficient
+    aggregates (rare tiny ones) get the economy Q with zeroed defect
+    columns."""
+    n = len(nullspace)
+    order = np.argsort(agg, kind="stable")
+    counts = np.bincount(agg, minlength=n_agg)
+    p0 = np.zeros((n, 6, 6))
+    nc = np.zeros((n_agg, 6, 6))
+    pos = 0
+    for a in range(n_agg):
+        c = counts[a]
+        idx = order[pos : pos + c]
+        pos += c
+        stack = nullspace[idx].reshape(c * 6, 6)
+        q, r = np.linalg.qr(stack)
+        # fix signs for determinism (diagonal of R >= 0)
+        s = np.sign(np.diag(r))
+        s[s == 0] = 1.0
+        q = q * s[None, :]
+        r = r * s[:, None]
+        p0[idx] = q.reshape(c, 6, 6)
+        nc[a] = r
+    return p0, nc
+
+
+@dataclasses.dataclass
+class _HostLevel:
+    adj: np.ndarray  # [n, K] block column ids (self included)
+    blocks: np.ndarray  # [n, K, 6, 6]
+    n: int
+
+
+def _ell_matvec(lvl: _HostLevel, x):
+    return np.einsum("nkab,nkb->na", lvl.blocks, x[lvl.adj])
+
+
+def _lam_max(lvl: _HostLevel, inv_diag, iters=12, seed=7):
+    rng = np.random.default_rng(seed)
+    v = rng.standard_normal((lvl.n, 6))
+    v /= np.linalg.norm(v)
+    lam = 1.0
+    for _ in range(iters):
+        w = np.einsum("nab,nb->na", inv_diag, _ell_matvec(lvl, v))
+        lam = np.linalg.norm(w)
+        v = w / max(lam, 1e-30)
+    return lam
+
+
+def _block_inv_diag(lvl: _HostLevel):
+    self_slot = np.argmax(lvl.adj == np.arange(lvl.n)[:, None], axis=1)
+    d = lvl.blocks[np.arange(lvl.n), self_slot]
+    # regularize empty/constrained blocks
+    bad = np.abs(np.diagonal(d, axis1=1, axis2=2)).max(axis=1) == 0
+    d[bad] = np.eye(6)
+    return np.linalg.inv(d)
+
+
+def _smooth_p(lvl: _HostLevel, p0, agg, omega, inv_diag):
+    """P = (I - omega D^-1 A) P0 as block COO (rows -> per-row lists)."""
+    n = lvl.n
+    k = lvl.adj.shape[1]
+    # candidate coarse columns per row: own agg + neighbor aggs
+    cols = agg[lvl.adj]  # [n, K]
+    dinva = np.einsum("nab,nkbc->nkac", inv_diag, lvl.blocks)
+    contrib = -omega * np.einsum("nkab,nkbc->nkac", dinva, p0[lvl.adj])
+    # add the identity term at each row's self slot: += p0[i]
+    self_mask = lvl.adj == np.arange(n)[:, None]
+    self_slot = np.argmax(self_mask, axis=1)
+    has_self = self_mask.any(axis=1)
+    rows_s = np.nonzero(has_self)[0]
+    contrib[rows_s, self_slot[rows_s]] += p0[rows_s]
+    # dedupe columns per row
+    order = np.argsort(cols, axis=1, kind="stable")
+    cols_s = np.take_along_axis(cols, order, axis=1)
+    contrib_s = np.take_along_axis(contrib, order[..., None, None], axis=1)
+    new_col = np.ones_like(cols_s, bool)
+    new_col[:, 1:] = cols_s[:, 1:] != cols_s[:, :-1]
+    slot = np.cumsum(new_col, axis=1) - 1
+    pk = int(slot.max()) + 1
+    pcol = np.zeros((n, pk), np.int64)
+    pblk = np.zeros((n, pk, 6, 6))
+    rows = np.repeat(np.arange(n), k)
+    np.maximum.at(pcol, (rows, slot.reshape(-1)), cols_s.reshape(-1))
+    np.add.at(pblk, (rows, slot.reshape(-1)), contrib_s.reshape(-1, 6, 6))
+    valid = np.zeros((n, pk), bool)
+    valid[rows, slot.reshape(-1)] = True
+    pcol[~valid] = 0  # padded entries carry zero blocks already
+    return pcol, pblk
+
+
+def _rap(lvl: _HostLevel, pcol, pblk, n_agg, chunk=65536):
+    """C = P^T A P by chunked sorted-key reduction (block COO)."""
+    n, k = lvl.adj.shape
+    pk = pcol.shape[1]
+    acc = {}
+    keys_all = []
+    vals_all = []
+    for s in range(0, n, chunk):
+        e = min(n, s + chunk)
+        rows = np.arange(s, e)
+        # AP over the chunk: [C, K, PK] candidate coarse cols
+        j = lvl.adj[s:e]  # [C, K]
+        ap_col = pcol[j]  # [C, K, PK]
+        ap_blk = np.einsum("ckab,ckpbd->ckpad", lvl.blocks[s:e], pblk[j])
+        # multiply by P^T rows of i
+        ri_col = pcol[s:e]  # [C, PK]
+        # triple: for each (pi, kk, pj): key (ri_col[c,pi], ap_col[c,kk,pj])
+        left = np.einsum("cpab,ckqad->cpkqbd", pblk[s:e], ap_blk)
+        kI = np.broadcast_to(ri_col[:, :, None, None], left.shape[:4])
+        kJ = np.broadcast_to(ap_col[:, None, :, :], left.shape[:4])
+        key = (kI.astype(np.int64) * n_agg + kJ).reshape(-1)
+        val = left.reshape(-1, 6, 6)
+        uk, inv = np.unique(key, return_inverse=True)
+        red = np.zeros((len(uk), 6, 6))
+        np.add.at(red, inv, val)
+        keys_all.append(uk)
+        vals_all.append(red)
+    key = np.concatenate(keys_all)
+    val = np.concatenate(vals_all)
+    uk, inv = np.unique(key, return_inverse=True)
+    red = np.zeros((len(uk), 6, 6))
+    np.add.at(red, inv, val)
+    # prune numerically-zero couplings: padded P slots (zero blocks at
+    # column 0) otherwise give every aggregate a fake edge to aggregate
+    # 0, whose neighborhood then swallows the whole next aggregation
+    mag = np.abs(red).max(axis=(1, 2))
+    keep = mag > 1e-13 * max(mag.max(), 1e-300)
+    uk, red = uk[keep], red[keep]
+    ci = (uk // n_agg).astype(np.int64)
+    cj = (uk % n_agg).astype(np.int64)
+    # to block ELL
+    counts = np.bincount(ci, minlength=n_agg)
+    kc = int(counts.max())
+    adj_c = np.tile(np.arange(n_agg)[:, None], (1, kc))
+    blk_c = np.zeros((n_agg, kc, 6, 6))
+    slot = np.zeros(n_agg, np.int64)
+    order = np.argsort(ci, kind="stable")
+    for t in order:
+        i = ci[t]
+        adj_c[i, slot[i]] = cj[t]
+        blk_c[i, slot[i]] = red[t]
+        slot[i] += 1
+    return _HostLevel(adj_c, blk_c, n_agg)
+
+
+@dataclasses.dataclass
+class _DeviceLevel:
+    adj: jnp.ndarray  # [n, K]
+    blocks: jnp.ndarray  # [n, K, 6, 6]
+    inv_diag: jnp.ndarray  # [n, 6, 6] block-Jacobi inverse
+    omega: float
+    pcol: Optional[jnp.ndarray] = None  # [n, PK] (to the NEXT level)
+    pblk: Optional[jnp.ndarray] = None  # [n, PK, 6, 6]
+    n_coarse: int = 0
+    chol: Optional[jnp.ndarray] = None  # coarsest
+    chol_scale: Optional[jnp.ndarray] = None
+
+
+class AMGShellSystem:
+    """Shell solver with a smoothed-aggregation AMG preconditioner
+    (arbitrary meshes; 6-dof block aggregation with rigid-mode
+    tentative prolongation)."""
+
+    def __init__(
+        self,
+        mesh: ShellMesh,
+        material: Material,
+        dtype=jnp.float64,
+        coarse_max: int = 200,
+        max_levels: int = 12,
+        nu_smooth: int = 3,
+        omega_sa: float = 4.0 / 3.0,
+        strength: float = 0.06,
+        cycle: str = "W",
+        reorder: Optional[str] = "rcm",
+    ):
+        from fem_shell_tpu.large import LargeShellSystem
+
+        self.mesh = mesh
+        self.material = material
+        self.dtype = dtype
+        self.nu_smooth = nu_smooth
+        if cycle not in ("V", "W"):
+            raise ValueError(f"unknown cycle {cycle!r}")
+        # W-cycle: visit each coarse level twice — the SA hierarchy's
+        # coarse-grid correction is weaker than geometric MG's, and the
+        # extra coarse sweeps (cheap: levels shrink ~9x) flatten the
+        # iteration growth with depth
+        self.cycle = cycle
+        # fine operator via the gather-mode assembler (k_max=1 forces the
+        # general path even for stencil-addressable meshes)
+        self.sys = LargeShellSystem(mesh, material, dtype=jnp.float64, reorder=reorder)
+        vals = np.asarray(self.sys.assemble(), np.float64)
+        pat = self.sys.pattern
+        n = mesh.n_nodes
+        if pat.offsets is not None:
+            # stencil mode: reconstruct the ELL adjacency from offsets
+            offs = np.asarray(pat.offsets)
+            adj = (np.arange(pat.n_pad)[:, None] + offs[None, :]).clip(0, pat.n_pad - 1)
+            k = len(offs)
+            blocks = np.transpose(
+                vals.reshape(6, 6, k, pat.n_pad), (3, 2, 0, 1)
+            )  # [Npad, K, 6, 6]
+            # zero out-of-range (clipped) couplings
+            raw = np.arange(pat.n_pad)[:, None] + offs[None, :]
+            blocks[(raw < 0) | (raw >= pat.n_pad)] = 0.0
+        else:
+            adj = np.asarray(pat.adj_t.T if hasattr(pat.adj_t, "T") else pat.adj_t)
+            adj = np.asarray(self.sys.adj_t).T  # [Npad, K]
+            k = adj.shape[1]
+            blocks = np.transpose(
+                vals.reshape(6, 6, k, pat.n_pad), (3, 2, 0, 1)
+            )
+        lvl0 = _HostLevel(adj[:n].astype(np.int64).clip(0, n - 1), blocks[:n], n)
+
+        coords = np.asarray(self.sys.mesh.coords, np.float64)  # post-reorder
+        nullspace = _rigid_modes(coords)
+
+        self.h_levels: List[_HostLevel] = [lvl0]
+        self.transfers = []  # (pcol, pblk, n_coarse)
+        lvl = lvl0
+        while lvl.n > coarse_max and len(self.h_levels) < max_levels:
+            nbrs = _strong_graph(lvl, strength) if strength > 0 else None
+            agg, n_agg = aggregate(lvl.adj, lvl.n, nbrs)
+            if n_agg >= lvl.n:  # no coarsening progress
+                break
+            p0, nullspace = _tentative(nullspace, agg, n_agg)
+            inv_diag = _block_inv_diag(lvl)
+            lam = _lam_max(lvl, inv_diag)
+            pcol, pblk = _smooth_p(lvl, p0, agg, omega_sa / max(lam, 1e-30), inv_diag)
+            nxt = _rap(lvl, pcol, pblk, n_agg)
+            self.transfers.append((pcol, pblk, n_agg))
+            self.h_levels.append(nxt)
+            lvl = nxt
+
+        # device levels
+        self.levels: List[_DeviceLevel] = []
+        for li, hl in enumerate(self.h_levels):
+            inv_d = _block_inv_diag(hl)
+            lam = _lam_max(hl, inv_d)
+            dl = _DeviceLevel(
+                adj=jnp.asarray(hl.adj),
+                blocks=jnp.asarray(hl.blocks, dtype),
+                inv_diag=jnp.asarray(inv_d, dtype),
+                omega=float(4.0 / (3.0 * max(lam, 1e-30))),
+            )
+            if li < len(self.transfers):
+                pcol, pblk, n_agg = self.transfers[li]
+                dl.pcol = jnp.asarray(pcol)
+                dl.pblk = jnp.asarray(pblk, dtype)
+                dl.n_coarse = n_agg
+            else:
+                dense = np.zeros((hl.n * 6, hl.n * 6))
+                for i in range(hl.n):
+                    for s in range(hl.adj.shape[1]):
+                        j = hl.adj[i, s]
+                        dense[6 * i : 6 * i + 6, 6 * j : 6 * j + 6] += hl.blocks[i, s]
+                d = np.diagonal(dense).copy()
+                d[d <= 0] = 1.0
+                sc = 1.0 / np.sqrt(d)
+                scaled = dense * sc[:, None] * sc[None, :]
+                # exact symmetrization guard before Cholesky
+                scaled = 0.5 * (scaled + scaled.T) + 1e-12 * np.eye(len(d))
+                dl.chol = jnp.asarray(np.linalg.cholesky(scaled), dtype)
+                dl.chol_scale = jnp.asarray(sc, dtype)
+            self.levels.append(dl)
+
+        self._solve_jit = jax.jit(self._solve_impl, static_argnums=(1, 2))
+
+    # ------------------------------------------------------------------
+    # device-side pieces
+    # ------------------------------------------------------------------
+    def _mv(self, dl: _DeviceLevel, x):
+        return jnp.einsum("nkab,nkb->na", dl.blocks, x[dl.adj])
+
+    def _smooth(self, dl: _DeviceLevel, x, b, sweeps):
+        for _ in range(sweeps):
+            r = b - self._mv(dl, x)
+            x = x + dl.omega * jnp.einsum("nab,nb->na", dl.inv_diag, r)
+        return x
+
+    def _vcycle(self, li, b):
+        dl = self.levels[li]
+        if dl.chol is not None:
+            rhs = (dl.chol_scale * b.reshape(-1))[:, None]
+            y = jax.lax.linalg.triangular_solve(
+                dl.chol, rhs, left_side=True, lower=True, transpose_a=False
+            )
+            z = jax.lax.linalg.triangular_solve(
+                dl.chol, y, left_side=True, lower=True, transpose_a=True
+            )
+            return (dl.chol_scale * z[:, 0]).reshape(b.shape)
+        x = jnp.zeros_like(b)
+        x = self._smooth(dl, x, b, self.nu_smooth)
+        r = b - self._mv(dl, x)
+        # restrict: r_c = P^T r
+        contrib = jnp.einsum("npab,na->npb", dl.pblk, r)
+        rc = jnp.zeros((dl.n_coarse, 6), b.dtype)
+        rc = rc.at[dl.pcol.reshape(-1)].add(contrib.reshape(-1, 6))
+        ec = self._vcycle(li + 1, rc)
+        if self.cycle == "W" and self.levels[li + 1].chol is None:
+            # second coarse visit on the updated residual
+            rc2 = rc - self._mv(self.levels[li + 1], ec)
+            ec = ec + self._vcycle(li + 1, rc2)
+        # prolong: e = P e_c
+        e = jnp.einsum("npab,npb->na", dl.pblk, ec[dl.pcol])
+        x = x + e
+        return self._smooth(dl, x, b, self.nu_smooth)
+
+    def _solve_impl(self, b, rtol, maxiter):
+        dl = self.levels[0]
+        mv = lambda x: self._mv(dl, x)  # noqa: E731
+        prec = lambda r: self._vcycle(0, r)  # noqa: E731
+        return pcg(mv, b, rtol=rtol, maxiter=maxiter, apply_prec=prec)
+
+    # ------------------------------------------------------------------
+    def solve(self, forces, rtol: float = 1e-10, maxiter: int = 1000):
+        f = self.sys._forces_in(forces)  # applies reorder + free mask shape
+        n = self.mesh.n_nodes
+        b = jnp.asarray(f[:n], self.dtype)
+        free = np.asarray(self.sys.free_t.T[:n], bool)
+        b = b * jnp.asarray(free, self.dtype)
+        with jax.default_matmul_precision("highest"):
+            res: CGResult = self._solve_jit(b, rtol, maxiter)
+        self.last_cg = res
+        self.last_iters = int(res.iters)
+        self.last_residual = float(res.residual)
+        u = np.asarray(res.x)
+        return self.sys._solution_out(u)

@@ -232,6 +232,101 @@ def permute_nodes(mesh: ShellMesh, order: np.ndarray) -> ShellMesh:
     return ShellMesh(mesh.coords[order], mesh.elem_types, conn, mesh.boundary_sides, bnodes)
 
 
+def refine_uniform(mesh: ShellMesh, levels: int = 1) -> ShellMesh:
+    """Uniform midpoint refinement (libMesh MeshRefinement analog,
+    doc/implementation.tex:11 arbitrary-mesh generality): every TRI3
+    splits into 4 TRI3, every QUAD4 into 4 QUAD4 (edge midpoints + quad
+    centers). Boundary side records are propagated to the two child
+    sides along each parent side; nodal boundary records keep the
+    original nodes and add midpoints of edges whose BOTH endpoints carry
+    the same bc id."""
+    m = mesh
+    for _ in range(levels):
+        m = _refine_once(m)
+    return m
+
+
+def _refine_once(mesh: ShellMesh) -> ShellMesh:
+    conn = mesh.elem_conn
+    types = mesh.elem_types
+    n = mesh.n_nodes
+
+    # unique undirected edges over all elements
+    edges = []
+    for e in range(mesh.n_elems):
+        sides = TRI_SIDES if types[e] == XDA_TRI3 else QUAD_SIDES
+        for a, b in sides:
+            edges.append((conn[e, a], conn[e, b]))
+    edges = np.asarray(edges, np.int64)
+    key = np.minimum(edges[:, 0], edges[:, 1]) * (n + 1) + np.maximum(
+        edges[:, 0], edges[:, 1]
+    )
+    ukey, inv = np.unique(key, return_inverse=True)
+    mid_of = {int(k): n + i for i, k in enumerate(ukey)}
+    ua = (ukey // (n + 1)).astype(np.int64)
+    ub = (ukey % (n + 1)).astype(np.int64)
+    mid_coords = 0.5 * (mesh.coords[ua] + mesh.coords[ub])
+
+    def mid(i, j):
+        i, j = int(i), int(j)
+        return mid_of[min(i, j) * (n + 1) + max(i, j)]
+
+    new_conn = []
+    new_types = []
+    child_of = {}  # (parent elem, slot) -> child elem id
+    centers = []
+    for e in range(mesh.n_elems):
+        if types[e] == XDA_TRI3:
+            a, b, c = (int(v) for v in conn[e, :3])
+            d, ee, f = mid(a, b), mid(b, c), mid(c, a)
+            kids = [(a, d, f, -1), (d, b, ee, -1), (f, ee, c, -1), (d, ee, f, -1)]
+            tt = XDA_TRI3
+        else:
+            a, b, c, dd = (int(v) for v in conn[e])
+            ce = len(centers) + n + len(ukey)
+            centers.append(0.25 * (mesh.coords[[a, b, c, dd]].sum(axis=0)))
+            e0, f0, g0, h0 = mid(a, b), mid(b, c), mid(c, dd), mid(dd, a)
+            kids = [
+                (a, e0, ce, h0),
+                (e0, b, f0, ce),
+                (ce, f0, c, g0),
+                (h0, ce, g0, dd),
+            ]
+            tt = XDA_QUAD4
+        for slot, kid in enumerate(kids):
+            child_of[(e, slot)] = len(new_conn)
+            new_conn.append(kid)
+            new_types.append(tt)
+
+    coords = np.vstack(
+        [mesh.coords, mid_coords] + ([np.asarray(centers)] if centers else [])
+    )
+    new_conn = np.asarray(new_conn, np.int32)
+    new_types = np.asarray(new_types, np.int32)
+
+    # boundary sides: parent side s -> (child s, s) and (child (s+1)%ns, s)
+    bs = []
+    for e, s, bc in mesh.boundary_sides:
+        ns = 3 if types[e] == XDA_TRI3 else 4
+        bs.append((child_of[(int(e), int(s))], int(s), int(bc)))
+        bs.append((child_of[(int(e), (int(s) + 1) % ns)], int(s), int(bc)))
+    bs = np.asarray(bs, np.int32).reshape(-1, 3)
+
+    bn = mesh.boundary_nodes
+    if len(bn):
+        per_node = {}
+        for node, bc in bn:
+            per_node.setdefault(int(bc), set()).add(int(node))
+        extra = []
+        for bc, nodes in per_node.items():
+            for i, (ka, kb) in enumerate(zip(ua, ub)):
+                if int(ka) in nodes and int(kb) in nodes:
+                    extra.append((n + i, bc))
+        bn = np.vstack([bn, np.asarray(extra, np.int32).reshape(-1, 2)]) if extra else bn
+
+    return ShellMesh(coords, new_types, new_conn, bs, bn)
+
+
 def bandwidth(mesh: ShellMesh) -> int:
     """Max |i - j| over coupled node pairs (0 for a point cloud)."""
     r, c = mesh.adjacency_coo()

