@@ -138,6 +138,78 @@ def bench_case(et: str):
     raise RuntimeError(f"no solver path produced a golden-accurate Test-G ({et})")
 
 
+def bench_scale(n: int = 1024, et: str = "t"):
+    """Large-scale metrics (SURVEY §7 step 7): warm assembly Melem/s via
+    the grid-df pipeline, refined-solve time/iterations/golden error,
+    and the Pallas df SpMV streaming bandwidth — all honest-timed
+    (chained device work + host fetch). Returns a dict for the JSON
+    line; raises on any failure (caller degrades gracefully)."""
+    from fem_shell_tpu.mg import MultigridShellSystem
+    from fem_shell_tpu.ops.df import DF, df_from_f64, df_to_f64
+
+    golden = 0.1064045  # analytic Kirchhoff (doc/validation.tex:264-281)
+    p = MeshGenParams(et, n, n, 0, 0, 10, 10, (0, 0, 0, 0), 300.0, 2, et == "q", "z")
+    mesh, rows, fac = generate(p)
+    forces = rows * fac
+    n_elem = len(mesh.tri) + len(mesh.quad)
+    mg = MultigridShellSystem(p, MAT, dtype=jnp.float32, df_operator=True,
+                              smoother="chebyshev")
+    mg.solve_df_refined(forces, rtol=1e-9)  # warm-up: compiles + caches
+    t0 = time.perf_counter()
+    mg.reassemble()
+    t_asm = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    u = mg.solve_df_refined(forces, rtol=1e-9)
+    t_solve = time.perf_counter() - t0
+    w = float(u[mesh.n_nodes // 2, 2])
+    err = abs(w - golden) / golden
+
+    # Pallas df SpMV bandwidth: chained matvecs in one jit + fetch
+    pair = mg._fine_df
+    fine = mg._fine
+    iters = 20
+    x0 = df_from_f64(jnp.zeros((6, fine.npad), jnp.float64) + 1e-3)
+
+    from fem_shell_tpu.ops.pallas_spmv_df import (
+        stencil_spmv_pallas_df,
+        stencil_spmv_pallas_df_flat,
+    )
+
+    @jax.jit
+    def chain(vh, vl, x):
+        def body(i, c):
+            if vh.ndim == 4:
+                y = stencil_spmv_pallas_df(vh, vl, c, fine.offsets)
+            else:
+                y = stencil_spmv_pallas_df_flat(DF(vh, vl), c, fine.offsets)
+            s = jnp.max(jnp.abs(y.hi))
+            return DF(y.hi / s, y.lo / s)
+
+        y = jax.lax.fori_loop(0, iters, body, x)
+        return jnp.sum(y.hi)
+
+    float(chain(pair.hi, pair.lo, x0))  # warm
+    t0 = time.perf_counter()
+    float(chain(pair.hi, pair.lo, x0))
+    dt = time.perf_counter() - t0
+    nbytes = pair.hi.size * 4 * 2  # hi + lo streamed per matvec
+    gbs = iters * nbytes / dt / 1e9
+
+    return {
+        "n": n,
+        "elem_type": et,
+        "elements": n_elem,
+        "dofs": 6 * mesh.n_nodes,
+        "assembly_s": round(t_asm, 3),
+        "assembly_melem_s": round(n_elem / t_asm / 1e6, 3),
+        "solve_s": round(t_solve, 3),
+        "inner_iters": mg.last_iters,
+        "true_residual": float(f"{mg.last_residual:.3e}"),
+        "golden_err": float(f"{err:.3e}"),
+        "pallas_df_spmv_gbs": round(gbs, 1),
+    }
+
+
 def main():
     print(f"# device={jax.devices()[0]}", file=sys.stderr)
     t_tri, label_tri = bench_case("t")
@@ -148,16 +220,19 @@ def main():
     )
     t_quad, label_quad = bench_case("q")
     print(f"# quad-4 overall: {t_quad:.4f} s via {label_quad}", file=sys.stderr)
-    print(
-        json.dumps(
-            {
-                "metric": "testG_quad_overall_s",
-                "value": round(t_quad, 4),
-                "unit": "s",
-                "vs_baseline": round(BASELINES["q"] / t_quad, 2),
-            }
-        )
-    )
+    payload = {
+        "metric": "testG_quad_overall_s",
+        "value": round(t_quad, 4),
+        "unit": "s",
+        "vs_baseline": round(BASELINES["q"] / t_quad, 2),
+    }
+    if os.environ.get("FEMSHELL_BENCH_SCALE", "1") != "0":
+        try:
+            payload["scale"] = bench_scale()
+            print(f"# scale: {payload['scale']}", file=sys.stderr)
+        except Exception as e:  # pragma: no cover
+            print(f"# scale bench unavailable ({type(e).__name__}: {e})", file=sys.stderr)
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

@@ -450,6 +450,10 @@ class MultigridShellSystem:
         self._fine = self.levels[0]
         if hasattr(self, "_levels32"):
             del self._levels32  # stale f32 copies of the old values
+        # the fine pair is now the ASSEMBLED one again; solve_df_refined
+        # must regenerate the class-consistent pair or its E-correction
+        # (exact only vs class-table rounding) would silently be wrong
+        self._class_pair_done = False
 
     # ------------------------------------------------------------------
     def _mv(self, lvl: _Level, x):
@@ -775,9 +779,14 @@ class MultigridShellSystem:
         self._fine = self.levels[0]
         self._class_pair_done = True
 
-    def _inner_df_impl(self, fine_df, levels, b, rtol, maxiter):
+    def _inner_df_impl(self, fine_df, levels, b, rtol, maxiter, tf=False):
         """MG-preconditioned df CG with a df RHS (shared by the initial
-        solve and every refinement correction solve)."""
+        solve and every refinement correction solve). ``tf=True`` routes
+        the CG matvec through the 4-level compensated accumulator; it is
+        NOT used by the refinement loop — measured at 512^2 it leaves the
+        refinement history bit-identical, because the stall is the df
+        representation floor of x itself (see solve_df_refined), not
+        matvec accumulation noise."""
         from fem_shell_tpu.ops.df import DF, df_stencil_matvec
         from fem_shell_tpu.solver_df import pcg_df
 
@@ -786,11 +795,11 @@ class MultigridShellSystem:
         if fine_df.hi.ndim == 4:
             from fem_shell_tpu.ops.pallas_spmv_df import stencil_spmv_pallas_df
 
-            mv = lambda x: stencil_spmv_pallas_df(fine_df.hi, fine_df.lo, x, fine.offsets)  # noqa: E731
+            mv = lambda x: stencil_spmv_pallas_df(fine_df.hi, fine_df.lo, x, fine.offsets, tf=tf)  # noqa: E731
         elif self.use_pallas:
             from fem_shell_tpu.ops.pallas_spmv_df import stencil_spmv_pallas_df_flat
 
-            mv = lambda x: stencil_spmv_pallas_df_flat(fine_df, x, fine.offsets)  # noqa: E731
+            mv = lambda x: stencil_spmv_pallas_df_flat(fine_df, x, fine.offsets, tf=tf)  # noqa: E731
         else:
             mv = lambda x: df_stencil_matvec(fine_df, x, fine.offsets)  # noqa: E731
 
@@ -848,12 +857,19 @@ class MultigridShellSystem:
         inner_maxiter: int = 200,
         verbose: bool = False,
     ):
-        """df MG-CG + exact-stencil iterative refinement: solve to the
-        TRUE residual (vs the longdouble class-table operator) below
-        ``rtol``. The inner solves only need ``inner_rtol`` — refinement
-        contracts the error by that factor per outer pass, so the total
-        iteration count is comparable to one tight solve while the
-        accuracy floor drops from ~kappa*eps49 to ~1e-8-class."""
+        """df MG-CG + exact-stencil iterative refinement: drive the TRUE
+        residual (vs the longdouble class-table operator) toward ``rtol``.
+        The inner solves only need ``inner_rtol`` — refinement contracts
+        the error per outer pass, so the total iteration count is
+        comparable to one tight solve.
+
+        Attainable TRUE-residual floor: ~kappa*eps49 of ||b|| — the df
+        (two-f32) REPRESENTATION of x itself limits ||b - A x|| to
+        ~||A||*eps49*||x||, measured 1.2e-5 at 512^2 (= 6.9e9 * 2^-49).
+        This floor is BENIGN for forward error: at the floor x is
+        pointwise-correct to eps49 relative, so the center-deflection
+        goldens see only discretization error. The loop detects the
+        floor via the contraction stall and stops."""
         if not self.df_operator:
             raise ValueError("solve_df_refined requires df_operator=True")
         self._ensure_class_pair()
@@ -894,8 +910,8 @@ class MultigridShellSystem:
                           flush=True)
                 if rn < rtol or not np.isfinite(rn):
                     break
-                if len(hist) > 1 and rn > 0.5 * hist[-2]:
-                    break  # stalled at the residual-evaluation floor
+                if len(hist) > 1 and rn > 0.7 * hist[-2]:
+                    break  # stalled at the representation floor (benign)
                 d, itk, _ = self._inner_df_jit(
                     self._fine_df, levels_arg, r, float(inner_rtol), int(inner_maxiter)
                 )
