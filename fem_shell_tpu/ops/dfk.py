@@ -54,7 +54,7 @@ _F32 = jnp.float32
 # interpreted kernels shatter into thousands of tiny fusions (measured:
 # quad df kernels 0.106 Melem/s fully barriered vs 0.49 barrier-free).
 #
-# On-device bisection (tools/tri_bisect*.py) shows exactly ONE rewrite
+# On-device bisection (on-device bisection, r1 probes — removed after recording) shows exactly ONE rewrite
 # hazard on the current XLA/TPU toolchain: expressions built on an
 # unprotected rounded sum s = a + b get algebraically simplified inside
 # large fused graphs (the Specht plate kernel lost 6 decimal digits;

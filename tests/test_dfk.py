@@ -160,7 +160,7 @@ print("OK")
 def test_dfk_tpu_kernel_parity_on_device():
     """Jitted-on-TPU df kernels vs CPU f64 — guards the EFT rewrite
     hazard (an XLA toolchain that re-simplifies the protected two_sum
-    would silently lose ~6 digits; bisected in tools/tri_bisect*.py)."""
+    would silently lose ~6 digits; bisected on-device in r1)."""
     import os
     import subprocess
     import sys as _sys
