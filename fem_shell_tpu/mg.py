@@ -758,8 +758,12 @@ class MultigridShellSystem:
         tiled = self._fine_df.hi.ndim == 4
         r_tile = int(self._fine_df.hi.shape[2]) if tiled else 0
         # free the assembled pair BEFORE generating: two pairs cannot
-        # coexist in HBM at the 10M-element scale
+        # coexist in HBM at the 10M-element scale. self._fine must drop
+        # its reference too — it aliases the old level object whose
+        # .values holds the 5.5 GB hi component (measured OOM at 2304^2
+        # with it retained).
         self.levels[0] = dataclasses.replace(fine, values=None)
+        self._fine = self.levels[0]
         self._fine_df = None
         if tiled:
             hi, lo = jax.jit(class_pair_tiled, static_argnums=(3, 4))(

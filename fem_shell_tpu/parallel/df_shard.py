@@ -27,7 +27,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from fem_shell_tpu.ops.df import DF, df_scalar_from_f64, two_prod, two_sum
@@ -194,7 +194,7 @@ class ShardedDFShellSystem(ShardedStencilSystem):
             mesh=self.device_mesh,
             in_specs=(P(), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
             out_specs=(P(AXIS), P(AXIS), P(AXIS)),
-            check_rep=False,
+            check_vma=False,
         )(coords, self.tri_conn, self.tri_w, self.quad_conn, self.quad_w,
           self.free, forces_l)
 
@@ -286,7 +286,7 @@ class ShardedMGDFShellSystem:
             mesh=self.device_mesh,
             in_specs=tuple(in_specs),
             out_specs=(P(AXIS), P(AXIS), P(AXIS)),
-            check_rep=False,
+            check_vma=False,
         )(*level_args, *f64_args, forces_l)
 
     def solve_df(self, forces, rtol: float = 1e-9, maxiter: int = 300):

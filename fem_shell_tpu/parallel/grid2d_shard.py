@@ -1,0 +1,356 @@
+"""2D process-grid halo-exchange SPMD solver for structured shell grids.
+
+Generalizes parallel/stencil_shard.py's 1D strip partition to a
+``py x px`` tile partition of a detected row-major structured grid
+(mg.detect_structured_grid): squarer subdomains cut the per-iteration
+ICI halo traffic from O(nxp) (a full grid row per neighbor) to
+O(ly + lx) per shard, the same surface-to-volume win MPI codes get from
+2D domain decomposition (reference: PETSc MatMPIAIJ row partitions +
+VecScatter ghost updates, doc/implementation.tex:454-521 — the reference
+inherits 1D row partitions from libMesh; this is the TPU-native upgrade).
+
+Design (all inside ONE jitted shard_map over a 2D device mesh):
+- the [nyp, nxp] node grid is tiled into [py, px] tiles of [ly, lx]
+  nodes (edge-padded; pad nodes are fully constrained so they never
+  couple);
+- element-parallel assembly: each element is anchored to the tile that
+  owns its minimum-corner node and scatters its 6x6 nodal blocks into a
+  halo-1 window [36, 9, ly+2, lx+2]; one reverse halo exchange (y then
+  x, riding the extended rows so corner contributions flow diagonally)
+  accumulates the distributed operator — no full-size psum;
+- the stencil matvec halo-exchanges one node ring (x then y on the
+  extended array, which carries the corners) and contracts the 9
+  (dy,dx) slots with static shifted slices — XLA-friendly, no gathers;
+- CG scalars reduce with a single two-axis psum.
+
+Wrap-around halos from the circular ppermute are harmless by the same
+invariant as the 1D path: out-of-domain neighbors only ever multiply
+identically-zero stencil blocks (no element spans the domain boundary,
+and pad tiles carry no elements).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from fem_shell_tpu.materials import Material
+from fem_shell_tpu.mesh import ShellMesh
+from fem_shell_tpu.ops.elements import batched_quad_stiffness, batched_tri_stiffness
+
+AXY = "ddy"
+AXX = "ddx"
+
+
+def _ceil_div(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def make_device_mesh2d(py: int, px: int) -> Mesh:
+    devs = jax.devices()
+    if py * px > len(devs):
+        raise ValueError(f"need {py * px} devices, have {len(devs)}")
+    return Mesh(np.array(devs[: py * px]).reshape(py, px), (AXY, AXX))
+
+
+class Sharded2DGridSystem:
+    """Tile-partitioned shell solver with 2D halo-exchange stencil SpMV."""
+
+    def __init__(
+        self,
+        mesh: ShellMesh,
+        material: Material,
+        device_mesh: Mesh,
+        dtype=jnp.float32,
+        chunk: int = 8192,
+    ):
+        from fem_shell_tpu.mg import detect_structured_grid
+
+        grid = detect_structured_grid(mesh)
+        if grid is None:
+            raise ValueError(
+                "Sharded2DGridSystem requires a detected structured grid; "
+                "use parallel.stencil_shard / parallel.sharded for "
+                "unstructured meshes"
+            )
+        if AXY not in device_mesh.shape or AXX not in device_mesh.shape:
+            raise ValueError(f"device mesh must have axes ({AXY!r}, {AXX!r})")
+        self.mesh = mesh
+        self.material = material
+        self.device_mesh = device_mesh
+        self.dtype = dtype
+        self.grid = grid
+        self.py = device_mesh.shape[AXY]
+        self.px = device_mesh.shape[AXX]
+        py, px = self.py, self.px
+
+        nyp, nxp = grid.nyp, grid.nxp
+        self.ly = _ceil_div(nyp, py)
+        self.lx = _ceil_div(nxp, px)
+        if self.ly < 2 or self.lx < 2:
+            raise ValueError(
+                f"tiles too small for halo exchange: {self.ly}x{self.lx}"
+            )
+        self.nyt = self.ly * py
+        self.nxt = self.lx * px
+
+        dm, dp = material.matrices()
+        self.dm = jnp.asarray(dm, dtype)
+        self.dp = jnp.asarray(dp, dtype)
+        self.thickness = material.thickness
+        self.coords = jnp.asarray(mesh.coords, dtype)
+        self.chunk = int(chunk)
+
+        # ---- element partition: anchor = min-corner node's tile
+        def part_elems(conn):
+            m = conn.shape[1] if conn.size else (3 if conn is mesh.tri else 4)
+            if len(conn) == 0:
+                return (
+                    np.zeros((py, px, 0, m), np.int32),
+                    np.zeros((py, px, 0), np.float64),
+                )
+            anchor = conn.min(axis=1)
+            ty = (anchor // nxp) // self.ly
+            tx = (anchor % nxp) // self.lx
+            tid = ty * px + tx
+            order = np.argsort(tid, kind="stable")
+            counts = np.bincount(tid, minlength=py * px)
+            e_l = int(counts.max())
+            out = np.zeros((py * px, e_l, m), np.int32)
+            wgt = np.zeros((py * px, e_l), np.float64)
+            sorted_conn = conn[order]
+            pos = 0
+            for si in range(py * px):
+                c = counts[si]
+                out[si, :c] = sorted_conn[pos : pos + c]
+                wgt[si, :c] = 1.0
+                out[si, c:] = conn[0] if c == 0 else out[si, 0]
+                pos += c
+            return out.reshape(py, px, e_l, m), wgt.reshape(py, px, e_l)
+
+        tri_p, tri_w = part_elems(mesh.tri)
+        quad_p, quad_w = part_elems(mesh.quad)
+        shard2 = NamedSharding(device_mesh, P(AXY, AXX))
+        self.tri_conn = jax.device_put(jnp.asarray(tri_p), shard2)
+        self.tri_w = jax.device_put(jnp.asarray(tri_w, dtype), shard2)
+        self.quad_conn = jax.device_put(jnp.asarray(quad_p), shard2)
+        self.quad_w = jax.device_put(jnp.asarray(quad_w, dtype), shard2)
+
+        free = np.zeros((6, self.nyt, self.nxt), np.float64)
+        mask = mesh.dirichlet_mask()  # [N, 6] True = constrained
+        fgrid = (~mask).T.reshape(6, nyp, nxp).astype(np.float64)
+        free[:, :nyp, :nxp] = fgrid
+        self.free = jax.device_put(self._tile(free), shard2)
+        self._solve_jit = jax.jit(self._solve, static_argnums=(2, 3))
+
+    # ------------------------------------------------------------------
+    def _tile(self, g):
+        """[C, nyt, nxt] global grid -> [py, px, C, ly, lx] tiles."""
+        c = g.shape[0]
+        t = g.reshape(c, self.py, self.ly, self.px, self.lx)
+        return jnp.asarray(np.transpose(t, (1, 3, 0, 2, 4)), self.dtype)
+
+    def _untile(self, t):
+        """[py, px, C, ly, lx] -> [C, nyt, nxt]."""
+        c = t.shape[2]
+        return np.transpose(np.asarray(t), (2, 0, 3, 1, 4)).reshape(
+            c, self.nyt, self.nxt
+        )
+
+    # ------------------------------------------------------------------
+    def _halo2d(self, x):
+        """x [C, ly, lx] -> [C, ly+2, lx+2]: x-edges first, then y-edges
+        of the x-extended array (carries the corners)."""
+        pxn, pyn = self.px, self.py
+        to_r = [(i, (i + 1) % pxn) for i in range(pxn)]
+        to_l = [(i, (i - 1) % pxn) for i in range(pxn)]
+        left = jax.lax.ppermute(x[:, :, -1:], AXX, to_r)
+        right = jax.lax.ppermute(x[:, :, :1], AXX, to_l)
+        xe = jnp.concatenate([left, x, right], axis=2)
+        to_d = [(i, (i + 1) % pyn) for i in range(pyn)]
+        to_u = [(i, (i - 1) % pyn) for i in range(pyn)]
+        top = jax.lax.ppermute(xe[:, -1:, :], AXY, to_d)
+        bot = jax.lax.ppermute(xe[:, :1, :], AXY, to_u)
+        return jnp.concatenate([top, xe, bot], axis=1)
+
+    def _halo_reduce2d(self, w):
+        """w [C, ly+2, lx+2] window -> [C, ly, lx] core with halo-ring
+        contributions accumulated into the owning neighbors (reverse of
+        _halo2d: y first on the extended-x rows, then x)."""
+        pxn, pyn = self.px, self.py
+        to_d = [(i, (i + 1) % pyn) for i in range(pyn)]
+        to_u = [(i, (i - 1) % pyn) for i in range(pyn)]
+        from_below = jax.lax.ppermute(w[:, :1, :], AXY, to_u)  # their top halo -> my last row
+        from_above = jax.lax.ppermute(w[:, -1:, :], AXY, to_d)  # their bottom halo -> my first row
+        wy = w[:, 1:-1, :]
+        wy = wy.at[:, -1:, :].add(from_below)
+        wy = wy.at[:, :1, :].add(from_above)
+        to_r = [(i, (i + 1) % pxn) for i in range(pxn)]
+        to_l = [(i, (i - 1) % pxn) for i in range(pxn)]
+        from_right = jax.lax.ppermute(wy[:, :, :1], AXX, to_l)
+        from_left = jax.lax.ppermute(wy[:, :, -1:], AXX, to_r)
+        core = wy[:, :, 1:-1]
+        core = core.at[:, :, -1:].add(from_right)
+        core = core.at[:, :, :1].add(from_left)
+        return core
+
+    # ------------------------------------------------------------------
+    def _assemble_local(self, coords, conn, wgt, kernel, oy0, ox0):
+        """This shard's element contributions into the halo-1 window
+        [36, 9, ly+2, lx+2]; slot = (dy+1)*3 + (dx+1) in grid coords."""
+        ly, lx = self.ly, self.lx
+        h, wd = ly + 2, lx + 2
+        nxp = self.grid.nxp
+        vals = jnp.zeros((36, 9 * h * wd), dtype=self.dtype)
+        e = conn.shape[0]
+        if e == 0:
+            return vals.reshape(36, 9, h, wd)
+        m = conn.shape[1]
+        chunk = min(self.chunk, e)
+        n_chunks = _ceil_div(e, chunk)
+        e_pad = n_chunks * chunk
+        conn_p = jnp.concatenate(
+            [conn, jnp.broadcast_to(conn[0], (e_pad - e, m))]
+        )
+        wgt_p = jnp.concatenate([wgt, jnp.zeros(e_pad - e, self.dtype)])
+
+        def body(acc, args):
+            cc, wc = args
+            ke = kernel(coords, cc, self.dm, self.dp, self.thickness) * wc[:, None, None]
+            kb = ke.reshape(chunk, m, 6, m, 6)
+            kb = jnp.transpose(kb, (2, 4, 0, 1, 3)).reshape(36, chunk * m * m)
+            ry, rx = cc // nxp, cc % nxp  # [C, m] grid coords per node
+            dy = ry[:, None, :] - ry[:, :, None]  # [C, m(row), m(col)]
+            dx = rx[:, None, :] - rx[:, :, None]
+            slot = (dy + 1) * 3 + (dx + 1)
+            wy = (ry - oy0 + 1)[:, :, None]  # window row of the ROW node
+            wx = (rx - ox0 + 1)[:, :, None]
+            idx = (slot * h + jnp.broadcast_to(wy, slot.shape)) * wd + jnp.broadcast_to(
+                wx, slot.shape
+            )
+            return acc.at[:, idx.reshape(-1)].add(kb), None
+
+        vals, _ = jax.lax.scan(
+            body,
+            vals,
+            (conn_p.reshape(n_chunks, chunk, m), wgt_p.reshape(n_chunks, chunk)),
+        )
+        return vals.reshape(36, 9, h, wd)
+
+    # ------------------------------------------------------------------
+    def assemble_vals_spmd(self, coords, tri_c, tri_w, quad_c, quad_w, free_l):
+        """Per-shard BC-constrained operator [6, 6, 9, ly, lx] + inv_diag
+        [6, ly, lx]. Must run inside shard_map over (AXY, AXX)."""
+        ly, lx = self.ly, self.lx
+        oy0 = jax.lax.axis_index(AXY).astype(jnp.int32) * ly
+        ox0 = jax.lax.axis_index(AXX).astype(jnp.int32) * lx
+
+        win = self._assemble_local(coords, tri_c, tri_w, batched_tri_stiffness, oy0, ox0)
+        win = win + self._assemble_local(
+            coords, quad_c, quad_w, batched_quad_stiffness, oy0, ox0
+        )
+        vals = self._halo_reduce2d(win.reshape(36 * 9, ly + 2, lx + 2))
+        vals = vals.reshape(6, 6, 9, ly, lx)
+
+        # BC masking: rows local, cols via the halo'd free mask
+        free_ext = self._halo2d(free_l)  # [6, ly+2, lx+2]
+        vals = vals * free_l[:, None, None, :, :]
+        for s in range(9):
+            dy, dx = s // 3 - 1, s % 3 - 1
+            colf = jax.lax.dynamic_slice(
+                free_ext, (0, dy + 1, dx + 1), (6, ly, lx)
+            )
+            vals = vals.at[:, :, s, :, :].multiply(colf[None])
+        eye = jnp.eye(6, dtype=vals.dtype)
+        vals = vals.at[:, :, 4, :, :].add(
+            eye[:, :, None, None] * (1.0 - free_l)[None]
+        )
+        diag = jnp.einsum("aayx->ayx", vals[:, :, 4])
+        inv_diag = jnp.where(diag != 0, 1.0 / diag, 1.0)
+        return vals, inv_diag
+
+    def matvec_spmd(self, vals, x_l):
+        """2D halo stencil SpMV [6, ly, lx] -> [6, ly, lx]."""
+        ly, lx = self.ly, self.lx
+        x_ext = self._halo2d(x_l)
+        y = jnp.zeros_like(x_l)
+        for s in range(9):
+            dy, dx = s // 3 - 1, s % 3 - 1
+            xs = jax.lax.dynamic_slice(x_ext, (0, dy + 1, dx + 1), (6, ly, lx))
+            y = y + jnp.einsum("abyx,byx->ayx", vals[:, :, s], xs)
+        return y
+
+    # ------------------------------------------------------------------
+    def _solve(self, coords, forces_t, rtol, maxiter):
+        def spmd(coords, tri_c, tri_w, quad_c, quad_w, free_l, b_l):
+            tri_c, tri_w = tri_c[0, 0], tri_w[0, 0]
+            quad_c, quad_w = quad_c[0, 0], quad_w[0, 0]
+            free_l, b_l = free_l[0, 0], b_l[0, 0]
+
+            vals, inv_diag = self.assemble_vals_spmd(
+                coords, tri_c, tri_w, quad_c, quad_w, free_l
+            )
+            b_l = b_l * free_l
+            matvec = lambda x: self.matvec_spmd(vals, x)  # noqa: E731
+
+            def pdot(a, b):
+                return jax.lax.psum(jnp.sum(a * b), (AXY, AXX))
+
+            b_norm = jnp.sqrt(pdot(b_l, b_l))
+            stop = rtol * b_norm
+            x = jnp.zeros_like(b_l)
+            r = b_l
+            z = inv_diag * r
+            pv = z
+            rz = pdot(r, z)
+
+            def cond(st):
+                _, r, _, _, _, it = st
+                return jnp.logical_and(jnp.sqrt(pdot(r, r)) > stop, it < maxiter)
+
+            def body(st):
+                x, r, z, pv, rz, it = st
+                ap = matvec(pv)
+                alpha = rz / pdot(pv, ap)
+                x = x + alpha * pv
+                r = r - alpha * ap
+                z = inv_diag * r
+                rz_new = pdot(r, z)
+                pv = z + (rz_new / rz) * pv
+                return (x, r, z, pv, rz_new, it + 1)
+
+            x, r, _, _, _, it = jax.lax.while_loop(
+                cond, body, (x, r, z, pv, rz, jnp.zeros((), jnp.int32))
+            )
+            res = jnp.sqrt(pdot(r, r)) / b_norm
+            return x[None, None], it[None, None], res[None, None]
+
+        return shard_map(
+            spmd,
+            mesh=self.device_mesh,
+            in_specs=(
+                P(),
+                P(AXY, AXX), P(AXY, AXX), P(AXY, AXX), P(AXY, AXX),
+                P(AXY, AXX), P(AXY, AXX),
+            ),
+            out_specs=(P(AXY, AXX), P(AXY, AXX), P(AXY, AXX)),
+            check_vma=False,
+        )(coords, self.tri_conn, self.tri_w, self.quad_conn, self.quad_w,
+          self.free, forces_t)
+
+    # ------------------------------------------------------------------
+    def solve(self, forces, rtol: float = 1e-10, maxiter: int = 20000):
+        nyp, nxp = self.grid.nyp, self.grid.nxp
+        g = np.zeros((6, self.nyt, self.nxt))
+        g[:, :nyp, :nxp] = np.asarray(forces).T.reshape(6, nyp, nxp)
+        f_t = jax.device_put(
+            self._tile(g), NamedSharding(self.device_mesh, P(AXY, AXX))
+        )
+        with jax.default_matmul_precision("highest"):
+            x, it, res = self._solve_jit(self.coords, f_t, rtol, maxiter)
+        self.last_iters = int(np.max(np.asarray(it)))
+        self.last_residual = float(np.max(np.asarray(res)))
+        u = self._untile(x)[:, :nyp, :nxp].reshape(6, nyp * nxp)
+        return u.T

@@ -34,7 +34,7 @@ from typing import List, Optional, Union
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from fem_shell_tpu.materials import Material
@@ -431,7 +431,7 @@ class ShardedMGShellSystem:
             mesh=self.device_mesh,
             in_specs=tuple(in_specs),
             out_specs=(P(AXIS), P(AXIS), P(AXIS)),
-            check_rep=False,
+            check_vma=False,
         )(*level_args, forces_l)
         return out
 

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from fem_shell_tpu.materials import Material
 from fem_shell_tpu.mesh import ShellMesh
@@ -212,7 +212,7 @@ class ShardedShellSystem:
                 P(AXIS),  # rhs row-sharded
             ),
             out_specs=(P(AXIS), P(AXIS), P(AXIS)),
-            check_rep=False,
+            check_vma=False,
         )(
             coords,
             self.tri_shard, self.tri_weight, self.tri_slot,

@@ -28,7 +28,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from fem_shell_tpu.materials import Material
@@ -304,7 +304,7 @@ class ShardedStencilSystem:
             mesh=self.device_mesh,
             in_specs=(P(), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
             out_specs=(P(AXIS), P(AXIS), P(AXIS)),
-            check_rep=False,
+            check_vma=False,
         )(coords, self.tri_conn, self.tri_w, self.quad_conn, self.quad_w, self.free, forces_l)
         return out
 

@@ -1,6 +1,6 @@
 """Probe: exact-stencil refined solve on TPU at moderate scale.
 
-Usage: python tools/refine_probe.py [n=512] [et=t]
+Usage: python tools/refine_probe.py [n=512] [et=t] [smoother=jacobi]
 Compares plain solve_df vs solve_df_refined center deflection and true
 residual against the analytic Kirchhoff golden 0.1064045.
 """
@@ -20,6 +20,7 @@ from fem_shell_tpu.mg import MultigridShellSystem
 GOLDEN = 0.1064045
 n = int(sys.argv[1]) if len(sys.argv) > 1 else 512
 et = sys.argv[2] if len(sys.argv) > 2 else "t"
+smoother = sys.argv[3] if len(sys.argv) > 3 else "jacobi"
 mat = Material(0.3, 1e7, 0.5)
 p = MeshGenParams(et, n, n, 0, 0, 10, 10, (0,0,0,0), 300.0, 2, et == "q", "z")
 t0 = time.perf_counter()
@@ -27,8 +28,10 @@ mesh, rows, fac = generate(p)
 forces = rows * fac
 print(f"mesh {n}x{n} {et}: {len(mesh.tri)+len(mesh.quad)} elems, {mesh.n_nodes} nodes ({time.perf_counter()-t0:.1f} s)", flush=True)
 t0 = time.perf_counter()
-mg = MultigridShellSystem(mesh, mat, dtype=jnp.float32, df_operator=True)
-print(f"build+assemble: {time.perf_counter()-t0:.1f} s ({mg.n_levels} levels, pallas={mg.use_pallas})", flush=True)
+mg = MultigridShellSystem(mesh, mat, dtype=jnp.float32, df_operator=True,
+                          smoother=smoother)
+print(f"build+assemble: {time.perf_counter()-t0:.1f} s ({mg.n_levels} levels, "
+      f"pallas={mg.use_pallas}, smoother={smoother})", flush=True)
 t0 = time.perf_counter()
 u1 = mg.solve_df(forces, rtol=1e-9, maxiter=600)
 w1 = float(u1[mesh.n_nodes//2, 2])
