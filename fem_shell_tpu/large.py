@@ -215,6 +215,7 @@ class LargeShellSystem:
         method: str = "auto",
         layout: str = "flat",
         with_diag: bool = False,
+        elem_pallas: bool = False,
     ):
         """BC-constrained df operator values (hi, lo), each FLAT
         [36K, Npad] f32 (see ops/soa.py:assemble_soa_df for the layout
@@ -284,6 +285,9 @@ class LargeShellSystem:
                     strip_rows=max(1, strip_nodes // grid.nxp),
                     layout=layout,
                     with_diag=with_diag,
+                    # Pallas-resident df element kernels: accelerator
+                    # only (CPU pallas is interpret-only)
+                    elem_pallas=elem_pallas,
                 )
 
         from fem_shell_tpu.ops.soa import assemble_soa_df

@@ -24,6 +24,7 @@ multi-million-element production configuration.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import List, Optional, Union
 
 import jax
@@ -757,25 +758,27 @@ class MultigridShellSystem:
         fine = self.levels[0]
         tiled = self._fine_df.hi.ndim == 4
         r_tile = int(self._fine_df.hi.shape[2]) if tiled else 0
+        npad, offsets = fine.npad, fine.offsets
         # free the assembled pair BEFORE generating: two pairs cannot
-        # coexist in HBM at the 10M-element scale. self._fine must drop
-        # its reference too — it aliases the old level object whose
-        # .values holds the 5.5 GB hi component (measured OOM at 2304^2
-        # with it retained).
+        # coexist in HBM at the 10M-element scale. EVERY reference to the
+        # old hi must drop — self._fine, levels[0].values, _fine_df, AND
+        # the local `fine` (each retained alias measured as a 2304^2
+        # RESOURCE_EXHAUSTED: old hi 5.5 GB + new pair 11 GB > 16 GB HBM).
         self.levels[0] = dataclasses.replace(fine, values=None)
         self._fine = self.levels[0]
         self._fine_df = None
+        del fine
         if tiled:
             hi, lo = jax.jit(class_pair_tiled, static_argnums=(3, 4))(
                 self._tabs["tfl0"], self._tabs["tfl1"], self._tabs["cls"],
-                fine.npad, r_tile,
+                npad, r_tile,
             )
         else:
             hi, lo = jax.jit(class_pair_flat, static_argnums=(3,))(
-                self._tabs["tfl0"], self._tabs["tfl1"], self._tabs["cls"], fine.npad
+                self._tabs["tfl0"], self._tabs["tfl1"], self._tabs["cls"], npad
             )
         self._fine_df = DF(hi, lo)
-        diag = self._diag_of(hi, fine.offsets)
+        diag = self._diag_of(hi, offsets)
         self.levels[0] = dataclasses.replace(
             self.levels[0],
             inv_diag=jnp.where(diag != 0, 1.0 / diag, 1.0),
@@ -877,6 +880,15 @@ class MultigridShellSystem:
         if not self.df_operator:
             raise ValueError("solve_df_refined requires df_operator=True")
         self._ensure_class_pair()
+        if os.environ.get("FEMSHELL_MEMDUMP"):
+            import collections
+
+            tot = collections.Counter()
+            for a in jax.live_arrays():
+                tot[(a.shape, str(a.dtype))] += a.nbytes
+            for key, v in sorted(tot.items(), key=lambda kv: -kv[1])[:25]:
+                print(f"  memdump {v / 1e9:7.3f} GB  {key}", flush=True)
+            print(f"  memdump TOTAL {sum(tot.values()) / 1e9:.3f} GB", flush=True)
         from fem_shell_tpu.ops.df import df_add, df_from_f64, df_to_f64
 
         fine = self._fine
@@ -900,6 +912,7 @@ class MultigridShellSystem:
         )
         with jax.default_matmul_precision("highest"):
             b = self._b_jit(f_t, fine.free_t)
+            del f, f_t  # 255 MB f64 forces buffer — HBM is pair-dominated
             x, it0, _ = self._inner_df_jit(
                 self._fine_df, levels_arg, b, float(inner_rtol), int(maxiter)
             )

@@ -86,6 +86,7 @@ def _make_grid_step(
     npad: int,
     tiled: bool = False,
     finalize: bool = False,
+    elem_pallas: bool = False,
 ):
     """One donated strip update of the flat df carry [36K, Npad].
 
@@ -105,7 +106,8 @@ def _make_grid_step(
     (hi, lo, diag) — a separate epilogue executable forces a relayout
     copy of the multi-GB pair on this toolchain (OOM at 10M elements).
     """
-    key = (kernel_fn, elem_type, ul_lr, rows_e, nx, nxp, k, offsets, npad, tiled, finalize)
+    key = (kernel_fn, elem_type, ul_lr, rows_e, nx, nxp, k, offsets, npad, tiled,
+           finalize, elem_pallas)
     if key in _GRID_STEP_CACHE:
         return _GRID_STEP_CACHE[key]
 
@@ -124,6 +126,16 @@ def _make_grid_step(
     # of EVERY intermediate (a vmapped trace batches axis 0, whose small
     # trailing dims tile-pad up to ~40x — the 10M-element OOM)
     dfn = df_function_bl(kernel_fn)
+    if elem_pallas:
+        # Pallas-resident element kernels (ops/pallas_elem.py): the
+        # whole df-jaxpr runs inside one Mosaic kernel, VMEM-resident —
+        # the strip pads to the tile multiple with edge-replicated
+        # coords (real geometry: no NaN work) and slices back.
+        from fem_shell_tpu.ops.pallas_elem import elem_stiffness_pallas
+
+        m_fam = 4 if elem_type == "q" else 3
+        pe_call = elem_stiffness_pallas(kernel_fn, m_fam, tile_e=min(_TILE, 1024))
+        e_pallas_pad = -(-e_strip // _TILE) * _TILE - e_strip
 
     def step(hi, lo, ch, cl, free_pad_h, r0, *maybe_free32):
         z = jnp.zeros((), r0.dtype)
@@ -149,7 +161,17 @@ def _make_grid_step(
                     for dy, dx in fam.corners
                 ]
             )
-            (ke,) = dfn(DF(xyz_h, xyz_l))  # DF [6m, 6m, E]
+            if elem_pallas:
+                pad_cfg = ((0, 0), (0, 0), (0, e_pallas_pad))
+                ke = pe_call(
+                    DF(
+                        jnp.pad(xyz_h, pad_cfg, mode="edge"),
+                        jnp.pad(xyz_l, pad_cfg, mode="edge"),
+                    )
+                )
+                ke = DF(ke.hi[:, :, :e_strip], ke.lo[:, :, :e_strip])
+            else:
+                (ke,) = dfn(DF(xyz_h, xyz_l))  # DF [6m, 6m, E]
             keh = ke.hi.reshape(m, 6, m, 6, rows_e, nx)
             kel = ke.lo.reshape(m, 6, m, 6, rows_e, nx)
             for la in range(m):
@@ -302,6 +324,7 @@ def assemble_grid_df(
     eager: bool = False,
     layout: str = "flat",
     with_diag: bool = False,
+    elem_pallas: bool = False,
 ) -> DF:
     """BC-constrained df operator values (hi, lo) f32, built without
     scatter or emulated f64. ``layout``:
@@ -374,7 +397,7 @@ def assemble_grid_df(
         last = r0 + rows_e >= ny
         step = _make_grid_step(
             kernel_fn, grid.elem_type, grid.ul_lr, rows_e, nx, nxp, k, offsets, npad,
-            tiled=tiled, finalize=last,
+            tiled=tiled, finalize=last, elem_pallas=elem_pallas,
         )
         if eager:
             step = step.__wrapped__

@@ -357,21 +357,56 @@ def class_pair_tiled(tfl0, tfl1, cls_flat, npad: int, r_tile: int):
     return gen(tfl0), gen(tfl1)
 
 
-def class_stencil_matvec_f32(tfl, cls_flat, offs2d, xg, nyp: int, nxp: int):
+def class_stencil_matvec_f32(tfl, cls_flat, offs2d, xg, nyp: int, nxp: int,
+                             strip_rows: int = 128):
     """y = T x in plain f32 (no EFT): the E-correction term of the
     refinement residual. |E| ~ 2^-49 |A|, so plain f32 arithmetic keeps
     its error ~2^-72 of the main-term magnitudes. ``tfl`` [36K, P*P],
-    ``xg`` [6, nyp, nxp] f32. Returns [6, nyp, nxp]."""
+    ``xg`` [6, nyp, nxp] f32. Returns [6, nyp, nxp].
+
+    Row-strip chunked (fori_loop): the whole-grid form unrolls
+    6*K per-node coefficient gathers of [6, nyp, nxp] each — at 2304^2
+    XLA buffer assignment wants several such 128 MB temps live next to
+    the 10.7 GB operator pair and the compile itself OOMs. Strips bound
+    the live set to [6, strip_rows, nxp] temps; the last strip is
+    clamped (overlapping rows recompute identical values, set
+    idempotently)."""
     k = len(offs2d)
     v = tfl.reshape(6, 6, k, _P * _P)
     cls2 = cls_flat.reshape(nyp, nxp)
-    y = jnp.zeros((6, nyp, nxp), jnp.float32)
-    for s, (dy, dx) in enumerate(offs2d):
-        xs = jnp.roll(xg, (-dy, -dx), axis=(1, 2))
-        for bb in range(6):
-            c = v[:, bb, s][:, cls2]  # [6, nyp, nxp]
-            y = y + c * xs[bb][None]
-    return y
+
+    if nyp <= strip_rows:
+        y = jnp.zeros((6, nyp, nxp), jnp.float32)
+        for s, (dy, dx) in enumerate(offs2d):
+            xs = jnp.roll(xg, (-dy, -dx), axis=(1, 2))
+            for bb in range(6):
+                c = v[:, bb, s][:, cls2]  # [6, nyp, nxp]
+                y = y + c * xs[bb][None]
+        return y
+
+    rows = strip_rows
+    n_strips = -(-nyp // rows)
+    # 1-row halo: dy in {-1, 0, 1} for the 2D stencils here
+    xp = jnp.pad(xg, ((0, 0), (1, 1), (0, 0)))
+
+    def body(i, ycar):
+        r0 = jnp.minimum(i * rows, nyp - rows).astype(jnp.int32)
+        xs_full = jax.lax.dynamic_slice(
+            xp, (jnp.int32(0), r0, jnp.int32(0)), (6, rows + 2, nxp)
+        )
+        cl = jax.lax.dynamic_slice(cls2, (r0, jnp.int32(0)), (rows, nxp))
+        ystrip = jnp.zeros((6, rows, nxp), jnp.float32)
+        for s, (dy, dx) in enumerate(offs2d):
+            xs = jax.lax.slice(xs_full, (0, 1 + dy, 0), (6, 1 + dy + rows, nxp))
+            xs = jnp.roll(xs, -dx, axis=2)
+            for bb in range(6):
+                c = v[:, bb, s][:, cl]  # [6, rows, nxp]
+                ystrip = ystrip + c * xs[bb][None]
+        return jax.lax.dynamic_update_slice(ycar, ystrip, (jnp.int32(0), r0, jnp.int32(0)))
+
+    return jax.lax.fori_loop(
+        0, n_strips, body, jnp.zeros((6, nyp, nxp), jnp.float32)
+    )
 
 
 def exact_matvec_f64(stencil: ExactStencil, x64):

@@ -1,0 +1,576 @@
+"""Pallas-resident df element kernels: the element-stiffness jaxpr
+interpreted INSIDE one Pallas kernel body.
+
+The grid-df assembly (ops/assemble_grid.py) is dominated by the df-jaxpr
+element kernels (ops/dfk.py): interpreted under XLA, every error-free
+transform carries an optimization_barrier (a fusion boundary), so the
+~1000-eqn kernel shatters into thousands of small VPU passes whose
+[*, E]-shaped intermediates round-trip HBM — measured 0.5-1.1 Melem/s,
+the end-to-end assembly bottleneck at the 10M-element scale (reference
+hot-loop analog: fem-shell.cpp:1160-1233, Ke evaluation).
+
+Here the SAME traced jaxpr is re-executed batch-last inside a Pallas
+kernel over element tiles of ``tile_e``: every intermediate lives in
+VMEM, the EFT sequences compile to straight-line Mosaic vector code with
+NO barriers (Mosaic performs no algebraic reassociation — same rationale
+as ops/pallas_spmv_df.py), and HBM traffic drops to the xyz input +
+ke output streams.
+
+Mosaic imposes two constraints XLA does not, addressed as follows (all
+transformations exact — results stay bit-identical to df_function_bl,
+parity-tested in tests/test_pallas_elem.py and on device via
+tools/run_tpu_tests.py):
+
+- NO gather/scatter primitives: the element kernels' only indexing is
+  compile-time-constant (iota-built block placement in the
+  membrane/plate/drilling superposition, elements.py:_superpose). All
+  integer subcomputations constant-fold on the host; gathers with
+  product-structured concrete indices become strided lax.slice,
+  scatter-sets become mask-multiply + interior-padded spread (lax.pad
+  with dilation), with unrolled dynamic_update_slice fallbacks.
+- NO captured non-scalar non-splat constants: every concrete float
+  array that mixes into traced arithmetic (material-matrix jaxpr
+  consts, scatter keep-masks, quadrature tables) is routed through a
+  ConstPool that turns it into an extra kernel input. A collection
+  pass (jax.eval_shape over the same interpreter) discovers the pool
+  deterministically before the pallas_call is built; scalars embed as
+  0-d literals directly.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.extend.core import Literal as _Literal
+
+from fem_shell_tpu.ops import dfk
+from fem_shell_tpu.ops.df import DF
+from fem_shell_tpu.ops.dfk import (
+    _BL_RULES,
+    _F32,
+    d_add,
+    d_div,
+    d_dot_general_bl,
+    d_max,
+    d_min,
+    d_mul,
+    d_sub,
+)
+
+_Tracer = jax.core.Tracer
+
+
+def _traced(v) -> bool:
+    if isinstance(v, DF):
+        return isinstance(v.hi, _Tracer) or isinstance(v.lo, _Tracer)
+    return isinstance(v, _Tracer)
+
+
+def _to_np(o):
+    if isinstance(o, DF):
+        return DF(np.asarray(o.hi), np.asarray(o.lo))
+    return np.asarray(o)
+
+
+def _split64(val) -> DF:
+    """Host-exact f64 -> (hi, lo) np pair with a trailing broadcast
+    axis (the batch-last unbatched-constant convention)."""
+    x = np.asarray(val, np.float64)
+    hi = x.astype(np.float32)
+    lo = (x - hi.astype(np.float64)).astype(np.float32)
+    return DF(hi[..., None], lo[..., None])
+
+
+class ConstPool:
+    """Routes concrete non-scalar arrays into pallas kernel inputs.
+
+    ``collect`` mode (host pass, jax.eval_shape) registers each array in
+    interpretation order; ``kernel`` mode replays them from the loaded
+    input refs in the same order (the interpreter is deterministic);
+    ``fold`` mode (constant subgraphs) passes values through untouched.
+    """
+
+    def __init__(self):
+        self.arrays: List[np.ndarray] = []
+        self.mode = "collect"
+        self.refs: List[Any] = []
+        self.idx = 0
+
+    def use(self, arr):
+        a = np.asarray(arr, np.float32)
+        if self.mode == "fold":
+            return jnp.asarray(a)
+        if self.mode == "collect":
+            self.arrays.append(a)
+            return jnp.asarray(a)
+        v = self.refs[self.idx]
+        self.idx += 1
+        assert v.shape == a.shape, (v.shape, a.shape)
+        return v
+
+
+_POOL: Optional[ConstPool] = None
+
+
+def _scalar_df(v: DF) -> DF:
+    return DF(
+        np.float32(np.asarray(v.hi).reshape(())),
+        np.float32(np.asarray(v.lo).reshape(())),
+    )
+
+
+def _mix_df(v: DF) -> DF:
+    """Prepare a DF operand for traced arithmetic: concrete scalars
+    embed as 0-d literals, concrete arrays go through the pool."""
+    if _traced(v):
+        return v
+    if np.size(v.hi) == 1:
+        return _scalar_df(v)
+    return DF(_POOL.use(v.hi), _POOL.use(v.lo))
+
+
+def _mix_any(v):
+    """Lift any operand (DF / plain traced / concrete) to a
+    traced-safe DF, batch-last convention."""
+    if isinstance(v, DF):
+        return _mix_df(v)
+    if _traced(v):
+        return DF(v.astype(_F32)[..., None], jnp.zeros(jnp.shape(v) + (1,), _F32))
+    if np.ndim(v) == 0:
+        return DF(np.float32(v), np.float32(0.0))
+    f = np.asarray(v, np.float32)[..., None]
+    return DF(_POOL.use(f), jnp.zeros(f.shape, _F32))
+
+
+def _pl_E(vals) -> int:
+    e = 1
+    for v in vals:
+        if isinstance(v, DF) and np.ndim(v.hi):
+            e = max(e, v.hi.shape[-1])
+    return e
+
+
+def _bcast_e(v: DF, e: int) -> DF:
+    if np.ndim(v.hi) == 0:
+        return v
+    if v.hi.shape[-1] == e:
+        return v
+    shape = v.hi.shape[:-1] + (e,)
+    return DF(jnp.broadcast_to(v.hi, shape), jnp.broadcast_to(v.lo, shape))
+
+
+def _pl_arith(fn):
+    def rule(eqn, *vals):
+        if not any(isinstance(v, DF) for v in vals):
+            return eqn.primitive.bind(*vals, **eqn.params)
+        return fn(*[_mix_any(v) for v in vals])
+
+    return rule
+
+
+def _pl_rule_concat(eqn, *vals):
+    if not any(isinstance(v, DF) for v in vals):
+        return eqn.primitive.bind(*vals, **eqn.params)
+    e = _pl_E(vals)
+    pieces = []
+    for v, var in zip(vals, eqn.invars):
+        shape = tuple(var.aval.shape)
+        d = _mix_any(v)
+        if np.ndim(d.hi) == 0:  # scalar -> splat block (allowed constant)
+            pieces.append(
+                DF(
+                    jnp.full(shape + (e,), d.hi, _F32),
+                    jnp.full(shape + (e,), d.lo, _F32),
+                )
+            )
+        else:
+            pieces.append(_bcast_e(d, e))
+    dim = eqn.params["dimension"]
+    return DF(
+        jax.lax.concatenate([p.hi for p in pieces], dim),
+        jax.lax.concatenate([p.lo for p in pieces], dim),
+    )
+
+
+def _pl_rule_select_n(eqn, pred, *cases):
+    if not any(isinstance(c, DF) for c in cases):
+        return eqn.primitive.bind(pred, *cases, **eqn.params)
+    e = _pl_E(cases)
+    if not _traced(pred) and np.ndim(pred) == 0:
+        return _mix_any(cases[int(np.asarray(pred))])
+    if not _traced(pred):
+        pred = _POOL.use(np.asarray(pred, np.float32)) > np.float32(0.5)
+    cs = []
+    for c, var in zip(cases, eqn.invars[1:]):
+        d = _mix_any(c)
+        if np.ndim(d.hi) == 0:
+            shape = tuple(var.aval.shape)
+            d = DF(jnp.full(shape + (e,), d.hi, _F32), jnp.full(shape + (e,), d.lo, _F32))
+        cs.append(_bcast_e(d, e))
+    pred_b = pred[..., None] if np.ndim(pred) == cs[0].hi.ndim - 1 else pred
+    if len(cs) == 2:
+        return DF(
+            jnp.where(pred_b, cs[1].hi, cs[0].hi),
+            jnp.where(pred_b, cs[1].lo, cs[0].lo),
+        )
+    pb = jnp.broadcast_to(pred_b, cs[0].hi.shape)
+    return DF(
+        jax.lax.select_n(pb, *[c.hi for c in cs]),
+        jax.lax.select_n(pb, *[c.lo for c in cs]),
+    )
+
+
+def _arith_prog(a: np.ndarray):
+    """(start, step) if 1D ``a`` is an arithmetic progression with
+    positive step (step:=1 for len 1), else None."""
+    a = np.asarray(a)
+    if a.ndim != 1 or a.size == 0:
+        return None
+    if a.size == 1:
+        return int(a[0]), 1
+    d = np.diff(a)
+    if np.all(d == d[0]) and d[0] > 0:
+        return int(a[0]), int(d[0])
+    return None
+
+
+def _product_maps(idx: np.ndarray):
+    """(rows [I], cols [J]) if idx[i, j] == (rows[i], cols[j]), else
+    None; idx is [I, J, 2]."""
+    if idx.ndim != 3 or idx.shape[-1] != 2:
+        return None
+    rows = idx[:, 0, 0]
+    cols = idx[0, :, 1]
+    if np.all(idx[..., 0] == rows[:, None]) and np.all(idx[..., 1] == cols[None, :]):
+        return rows, cols
+    return None
+
+
+def _pl_rule_gather(eqn, operand, indices):
+    p = eqn.params
+    if not isinstance(operand, DF) or _traced(indices):
+        return _BL_RULES["gather"](eqn, operand, indices)
+    operand = _mix_df(operand) if not _traced(operand) else operand
+    dn = p["dimension_numbers"]
+    idx = np.asarray(indices)
+    sizes = tuple(p["slice_sizes"])
+    nd = idx.shape[-1]
+    point = (
+        tuple(dn.offset_dims) == ()
+        and tuple(dn.collapsed_slice_dims) == tuple(range(nd))
+        and tuple(dn.start_index_map) == tuple(range(nd))
+        and all(s == 1 for s in sizes)
+        and nd == operand.hi.ndim - 1
+    )
+    if point and nd == 2:
+        maps = _product_maps(idx)
+        if maps is not None:
+            rp, cp = _arith_prog(maps[0]), _arith_prog(maps[1])
+            if rp is not None and cp is not None:
+                (r0, dr), (c0, dc) = rp, cp
+                ni, nj = idx.shape[:2]
+                e = operand.hi.shape[-1]
+
+                def sl(a):
+                    return jax.lax.slice(
+                        a,
+                        (r0, c0, 0),
+                        (r0 + (ni - 1) * dr + 1, c0 + (nj - 1) * dc + 1, e),
+                        (dr, dc, 1),
+                    )
+
+                return DF(sl(operand.hi), sl(operand.lo))
+    if point:
+        flat = idx.reshape(-1, nd)
+        hs = [operand.hi[tuple(int(i) for i in ix)] for ix in flat]
+        ls = [operand.lo[tuple(int(i) for i in ix)] for ix in flat]
+        out_shape = idx.shape[:-1] + (operand.hi.shape[-1],)
+        return DF(jnp.stack(hs).reshape(out_shape), jnp.stack(ls).reshape(out_shape))
+    return _BL_RULES["gather"](eqn, operand, indices)
+
+
+def _spread(upd, r0, dr, c0, dc, s0, s1):
+    """upd [I, J, E] placed at rows r0::dr, cols c0::dc of zeros
+    [s0, s1, E]: lax.pad with interior (dilation) padding."""
+    ni, nj = upd.shape[:2]
+    cfg = (
+        (r0, s0 - (r0 + (ni - 1) * dr + 1), dr - 1),
+        (c0, s1 - (c0 + (nj - 1) * dc + 1), dc - 1),
+        (0, 0, 0),
+    )
+    return jax.lax.pad(upd, jnp.zeros((), upd.dtype), cfg)
+
+
+def _is_zero(v) -> bool:
+    return (
+        isinstance(v, DF)
+        and not _traced(v)
+        and not np.any(np.asarray(v.hi))
+        and not np.any(np.asarray(v.lo))
+    )
+
+
+def _pl_rule_scatter(eqn, operand, indices, updates):
+    p = eqn.params
+    if _traced(indices) or not (
+        isinstance(operand, DF) or isinstance(updates, DF)
+    ):
+        return _BL_RULES["scatter"](eqn, operand, indices, updates)
+    dn = p["dimension_numbers"]
+    idx = np.asarray(indices)
+    op_zero = _is_zero(operand) or (
+        not isinstance(operand, DF)
+        and not _traced(operand)
+        and not np.any(np.asarray(operand))
+    )
+    op_shape = tuple(eqn.invars[0].aval.shape)
+    upd = _mix_any(updates) if not (isinstance(updates, DF) and _traced(updates)) else updates
+    e = _pl_E([upd])
+    upd = _bcast_e(upd, e)
+
+    # window scatter with one scalar-tuple index == static DUS
+    if (
+        idx.ndim == 1
+        and tuple(dn.inserted_window_dims) == ()
+        and tuple(dn.update_window_dims) == tuple(range(upd.hi.ndim - 1))
+    ):
+        op = _mix_any(operand) if not (isinstance(operand, DF) and _traced(operand)) else operand
+        op = _bcast_e(op, e)
+        starts = [0] * op.hi.ndim
+        for i, d in enumerate(dn.scatter_dims_to_operand_dims):
+            starts[d] = int(idx[i])
+        return DF(
+            jax.lax.dynamic_update_slice(op.hi, upd.hi, tuple(starts)),
+            jax.lax.dynamic_update_slice(op.lo, upd.lo, tuple(starts)),
+        )
+
+    nd = idx.shape[-1]
+    point = (
+        tuple(dn.update_window_dims) == ()
+        and tuple(dn.inserted_window_dims) == tuple(range(nd))
+        and tuple(dn.scatter_dims_to_operand_dims) == tuple(range(nd))
+        and nd == len(op_shape)
+    )
+    if point and nd == 2:
+        maps = _product_maps(idx)
+        if maps is not None:
+            rp, cp = _arith_prog(maps[0]), _arith_prog(maps[1])
+            if rp is not None and cp is not None:
+                (r0, dr), (c0, dc) = rp, cp
+                s0, s1 = op_shape
+                sh = _spread(upd.hi, r0, dr, c0, dc, s0, s1)
+                sl_ = _spread(upd.lo, r0, dr, c0, dc, s0, s1)
+                if op_zero:
+                    # scatter into zeros: unwritten positions stay 0
+                    return DF(sh, sl_)
+                op = _mix_any(operand) if not (isinstance(operand, DF) and _traced(operand)) else operand
+                op = _bcast_e(op, e)
+                keep = np.ones((s0, s1), np.float32)
+                keep[np.ix_(np.asarray(maps[0]), np.asarray(maps[1]))] = 0.0
+                keep_t = _POOL.use(keep[..., None])
+                # exact: keep is 0/1, spread holds exact zeros elsewhere
+                return DF(op.hi * keep_t + sh, op.lo * keep_t + sl_)
+    if point:
+        op = _mix_any(operand) if not (isinstance(operand, DF) and _traced(operand)) else operand
+        op = _bcast_e(op, e)
+        flat = idx.reshape(-1, nd)
+        uh = upd.hi.reshape((-1, upd.hi.shape[-1]))
+        ul = upd.lo.reshape((-1, upd.lo.shape[-1]))
+        oh, ol = op.hi, op.lo
+        blk = (1,) * nd + (op.hi.shape[-1],)
+        for n, ix in enumerate(flat):
+            starts = tuple(int(i) for i in ix) + (0,)
+            oh = jax.lax.dynamic_update_slice(oh, uh[n].reshape(blk), starts)
+            ol = jax.lax.dynamic_update_slice(ol, ul[n].reshape(blk), starts)
+        return DF(oh, ol)
+    return _BL_RULES["scatter"](eqn, operand, indices, updates)
+
+
+_PL_RULES: Dict[str, Any] = dict(_BL_RULES)
+_PL_RULES.update(
+    add=_pl_arith(d_add),
+    sub=_pl_arith(d_sub),
+    mul=_pl_arith(d_mul),
+    div=_pl_arith(d_div),
+    max=_pl_arith(d_max),
+    min=_pl_arith(d_min),
+    concatenate=_pl_rule_concat,
+    select_n=_pl_rule_select_n,
+    gather=_pl_rule_gather,
+    scatter=_pl_rule_scatter,
+    dot_general=lambda eqn, a, b: d_dot_general_bl(
+        _mix_any(a), _mix_any(b), eqn.params["dimension_numbers"]
+    ),
+)
+
+
+def _dispatch(eqn, vals):
+    name = eqn.primitive.name
+    rule = _PL_RULES.get(name)
+    if rule is None:
+        if any(isinstance(v, DF) for v in vals):
+            raise NotImplementedError(f"no pallas df rule for '{name}'")
+        return eqn.primitive.bind(*vals, **eqn.params)
+    return rule(eqn, *vals)
+
+
+def df_eval_jaxpr_pl(jaxpr, consts, *args):
+    """Batch-last df evaluation specialized for Pallas kernel bodies:
+    concrete subgraphs fold on the host (exactly — the same df rules run
+    eagerly, op by op, so no FMA contraction), and gather/scatter and
+    non-scalar constants never reach the trace (module docstring)."""
+    env: Dict[Any, Any] = {}
+
+    def read(v):
+        if isinstance(v, _Literal):
+            val = np.asarray(v.val)
+            if np.issubdtype(val.dtype, np.floating):
+                return _split64(val)
+            return val
+        return env[v]
+
+    for v, c in zip(jaxpr.constvars, consts):
+        if isinstance(c, DF):
+            env[v] = c
+        else:
+            ca = np.asarray(c)
+            env[v] = _split64(ca) if np.issubdtype(ca.dtype, np.floating) else ca
+    for v, a in zip(jaxpr.invars, args):
+        env[v] = a
+
+    for eqn in jaxpr.eqns:
+        vals = [read(v) for v in eqn.invars]
+        name = eqn.primitive.name
+        if name in ("pjit", "jit", "closed_call", "custom_jvp_call", "custom_vjp_call"):
+            sub = eqn.params.get("jaxpr") or eqn.params.get("call_jaxpr")
+            outs = df_eval_jaxpr_pl(sub.jaxpr, sub.consts, *vals)
+        elif not any(_traced(v) for v in vals):
+            prev = _POOL.mode
+            _POOL.mode = "fold"
+            try:
+                # ensure_compile_time_eval: escape the ambient trace so
+                # concrete subgraphs fold on host (op-by-op eager — no
+                # fusion, hence no FMA contraction of the EFTs)
+                with jax.ensure_compile_time_eval():
+                    outs = _dispatch(eqn, vals)
+            finally:
+                _POOL.mode = prev
+            outs = (
+                [_to_np(o) for o in outs]
+                if eqn.primitive.multiple_results
+                else _to_np(outs)
+            )
+        else:
+            outs = _dispatch(eqn, vals)
+        if eqn.primitive.multiple_results:
+            for v, o in zip(eqn.outvars, outs):
+                env[v] = o
+        else:
+            env[eqn.outvars[0]] = outs
+
+    return [read(v) for v in jaxpr.outvars]
+
+
+class _BarrierFree:
+    """Patch dfk's optimization_barrier (and jnp splitter constant) to
+    plain identity / np scalar for the in-kernel trace: Mosaic neither
+    rewrites EFT expressions nor lowers optimization_barrier (same
+    rationale as ops/pallas_spmv_df.py)."""
+
+    def __enter__(self):
+        self._ob, self._sp = dfk._ob, dfk._SPLITTER
+        dfk._ob = lambda x: x
+        dfk._SPLITTER = np.float32(4097.0)
+        return self
+
+    def __exit__(self, *exc):
+        dfk._ob, dfk._SPLITTER = self._ob, self._sp
+        return False
+
+
+_KERNEL_CACHE: Dict[Any, Any] = {}
+
+
+def elem_stiffness_pallas(kernel_fn, m: int, tile_e: int = 1024,
+                          interpret: bool = False):
+    """Batched element stiffness via one Pallas kernel.
+
+    Returns ``call(xyz: DF[m, 3, E]) -> DF[6m, 6m, E]`` (E a multiple of
+    ``tile_e``, itself a multiple of 128). ``kernel_fn`` is the
+    single-element f64 stiffness (xyz [m, 3] -> ke [6m, 6m]); it is
+    traced once and its jaxpr re-executed in df inside the kernel."""
+    key = (kernel_fn, m, tile_e, interpret)
+    got = _KERNEL_CACHE.get(key)
+    if got is not None:
+        return got
+
+    closed = jax.make_jaxpr(kernel_fn)(jax.ShapeDtypeStruct((m, 3), jnp.float64))
+    jaxpr, consts = closed.jaxpr, list(closed.consts)
+    n_dof = 6 * m
+
+    def interp(xh, xl):
+        (ke,) = df_eval_jaxpr_pl(jaxpr, consts, DF(xh, xl))
+        return ke.hi, ke.lo
+
+    # collection pass: discover the const pool (deterministic order)
+    global _POOL
+    pool = ConstPool()
+    _POOL = pool
+    try:
+        with _BarrierFree():
+            jax.eval_shape(
+                interp,
+                jax.ShapeDtypeStruct((m, 3, tile_e), jnp.float32),
+                jax.ShapeDtypeStruct((m, 3, tile_e), jnp.float32),
+            )
+    finally:
+        _POOL = None
+    pooled = list(pool.arrays)
+
+    n_pool = len(pooled)
+
+    def kernel(*refs):
+        pool_refs, (xh, xl, oh, ol) = refs[:n_pool], refs[n_pool:]
+        kpool = ConstPool()
+        kpool.mode = "kernel"
+        kpool.refs = [r[...] for r in pool_refs]
+        global _POOL
+        _POOL = kpool
+        try:
+            with _BarrierFree():
+                hi, lo = interp(xh[...], xl[...])
+        finally:
+            _POOL = None
+        oh[...] = hi
+        ol[...] = lo
+
+    pool_specs = [
+        pl.BlockSpec(a.shape, (lambda nd: (lambda i: (jnp.int32(0),) * nd))(a.ndim))
+        for a in pooled
+    ]
+    zero2 = lambda i: (jnp.int32(0), jnp.int32(0), i)  # noqa: E731
+
+    @jax.jit
+    def run(xh, xl):
+        e = xh.shape[-1]
+        assert e % tile_e == 0, (e, tile_e)
+        grid = (e // tile_e,)
+        oh, ol = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=pool_specs + [pl.BlockSpec((m, 3, tile_e), zero2)] * 2,
+            out_specs=[pl.BlockSpec((n_dof, n_dof, tile_e), zero2)] * 2,
+            out_shape=[jax.ShapeDtypeStruct((n_dof, n_dof, e), jnp.float32)] * 2,
+            interpret=interpret,
+        )(*[jnp.asarray(a) for a in pooled], xh, xl)
+        return oh, ol
+
+    def call(xyz: DF) -> DF:
+        oh, ol = run(xyz.hi, xyz.lo)
+        return DF(oh, ol)
+
+    _KERNEL_CACHE[key] = call
+    return call

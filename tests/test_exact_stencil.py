@@ -111,6 +111,39 @@ def test_e_term_matvec():
     assert np.max(np.abs(y.reshape(6, -1) - y_ref)) < 1e-5 * scale
 
 
+@pytest.mark.parametrize("et", ["t", "q"])
+def test_e_term_matvec_strips_vs_oracle(et):
+    """The row-strip-chunked path (compile-OOM fix for 2304^2) against
+    the dense f64 oracle. strip_rows < nyp forces the fori_loop path,
+    with a non-dividing strip count to cover the clamped last strip
+    (idempotent overlap rows). Boundary rows validate the zero-padded
+    halo: real class stencils zero the coefficients that would reach
+    across the y wrap, so the oracle (which never wraps) pins them.
+    Values differ from the whole-grid path only by FMA contraction
+    inside the jitted loop body (~1 ulp of the E term, i.e. ~2^-73 of
+    the main operator — immaterial to the refinement)."""
+    mesh, _ = _case(et, 13)
+    sys = LargeShellSystem(mesh, MAT, dtype=jnp.float64)
+    st = build_exact_stencil(mesh, MAT, sys.offsets)
+    tfl0, tfl1, tfl2, cls = class_flat_tables(st)
+    rng = np.random.default_rng(4)
+    xg = rng.standard_normal((6, st.nyp, st.nxp)).astype(np.float32)
+    y = np.asarray(
+        class_stencil_matvec_f32(
+            jnp.asarray(tfl2), jnp.asarray(cls), st.offs2d, jnp.asarray(xg),
+            st.nyp, st.nxp, strip_rows=5,
+        )
+    )
+    st2 = st.__class__(
+        offsets=st.offsets, offs2d=st.offs2d,
+        t0=st.t2, t1=np.zeros_like(st.t2), t2=np.zeros_like(st.t2),
+        cy_idx=st.cy_idx, cx_idx=st.cx_idx, nyp=st.nyp, nxp=st.nxp,
+    )
+    y_ref = exact_matvec_f64(st2, xg.astype(np.float64).reshape(6, -1)).astype(np.float64)
+    scale = max(np.max(np.abs(y_ref)), 1e-30)
+    assert np.max(np.abs(y.reshape(6, -1) - y_ref)) < 1e-5 * scale
+
+
 def test_eager_residual_vs_oracle():
     """EAGER (unjitted) EFT residual on CPU is honestly rounded; compare
     against the longdouble oracle at better than df accuracy."""
