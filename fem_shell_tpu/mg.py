@@ -219,6 +219,7 @@ class MultigridShellSystem:
         use_pallas: Optional[bool] = None,
         assemble: bool = True,
         smoother: str = "jacobi",
+        elem_pallas: bool = False,
     ):
         """``df_operator=True`` is the multi-million-element configuration:
         every level is strip-assembled into a df (two-f32) operator
@@ -267,6 +268,9 @@ class MultigridShellSystem:
                 and self._big
             )
         self.use_pallas = use_pallas
+        # Pallas-resident df element kernels inside the grid assembly
+        # (ops/pallas_elem.py): accelerator-only, opt-in
+        self.elem_pallas = bool(elem_pallas) and jax.devices()[0].platform != "cpu"
 
         grid = detect_structured_grid(mesh)
         if grid is None:
@@ -357,6 +361,7 @@ class MultigridShellSystem:
                     layout=layout,
                     with_diag=True,
                     method=method,
+                    elem_pallas=self.elem_pallas and method == "grid",
                 )
                 if l == 0:
                     self._fine_df = pair
@@ -428,6 +433,7 @@ class MultigridShellSystem:
                     layout=layout,
                     with_diag=True,
                     method=method,
+                    elem_pallas=self.elem_pallas and method == "grid",
                 )
                 if l == 0:
                     self._fine_df = pair

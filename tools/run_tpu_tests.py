@@ -12,8 +12,10 @@ Checks:
   2. dfk          — df-jaxpr element kernel parity (tests/test_dfk.py)
   3. pallas-df    — Pallas df SpMV (flat + tf compensated) vs XLA df +
                     tf accuracy vs the longdouble class-table oracle
-  4. mg-df        — MG-df Test-G golden (multi-dispatch + fused paths)
-  5. refined      — exact-stencil iterative refinement: true residual
+  4. pallas-elem  — Pallas-resident df element kernels vs df_function_bl
+                    and the f64 oracle, + Melem/s probe
+  5. mg-df        — MG-df Test-G golden (multi-dispatch + fused paths)
+  6. refined      — exact-stencil iterative refinement: true residual
                     below rtol, golden center deflection (n=192 tri)
 
 Usage: python tools/run_tpu_tests.py [check ...]   (default: all)
@@ -142,6 +144,79 @@ assert errf < 1e-4
 print("OK")
 """
 
+_PALLAS_ELEM_SCRIPT = r"""
+import os
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+import time
+import jax
+jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+import jax.numpy as jnp
+import numpy as np
+if jax.devices()[0].platform == "cpu":
+    print("SKIP: no accelerator")
+    raise SystemExit(0)
+from fem_shell_tpu.materials import Material
+from fem_shell_tpu.ops.df import DF
+from fem_shell_tpu.ops.dfk import df_function_bl
+from fem_shell_tpu.ops.elements import quad_shell_stiffness, tri_shell_stiffness
+from fem_shell_tpu.ops.pallas_elem import elem_stiffness_pallas
+
+mat = Material(0.3, 1e7, 0.5)
+dm64, dp64 = mat.matrices()
+dm, dp = jnp.asarray(dm64, jnp.float64), jnp.asarray(dp64, jnp.float64)
+rng = np.random.default_rng(0)
+for m, base in ((3, tri_shell_stiffness), (4, quad_shell_stiffness)):
+    kfn = lambda p: base(p, dm, dp, 0.5)
+    e = 2048
+    xyz = np.zeros((m, 3, e))
+    if m == 3:
+        xyz[:, 0, :] = rng.uniform(0.0, 10.0, (m, e))
+        xyz[:, 1, :] = rng.uniform(0.0, 10.0, (m, e))
+    else:
+        b2 = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], float)
+        xyz[:, 0, :] = b2[:, 0:1] * 4 + rng.uniform(0, 0.5, (m, e))
+        xyz[:, 1, :] = b2[:, 1:2] * 4 + rng.uniform(0, 0.5, (m, e))
+    hi = xyz.astype(np.float32)
+    lo = (xyz - hi.astype(np.float64)).astype(np.float32)
+    x = DF(jnp.asarray(hi), jnp.asarray(lo))
+    with jax.default_matmul_precision("highest"):
+        (ref,) = jax.jit(lambda x: df_function_bl(kfn)(x))(x)
+        call = elem_stiffness_pallas(kfn, m, tile_e=1024)
+        got = call(x)
+    r64 = np.asarray(ref.hi, np.float64) + np.asarray(ref.lo, np.float64)
+    g64 = np.asarray(got.hi, np.float64) + np.asarray(got.lo, np.float64)
+    rel = np.abs(g64 - r64).max() / np.abs(r64).max()
+    bitpar = (np.array_equal(np.asarray(got.hi), np.asarray(ref.hi))
+              and np.array_equal(np.asarray(got.lo), np.asarray(ref.lo)))
+    # f64 oracle
+    ke64 = jax.jit(jax.vmap(kfn))(jnp.asarray(np.moveaxis(xyz, 2, 0)))
+    o64 = np.moveaxis(np.asarray(ke64), 0, 2)
+    rel_oracle = np.abs(g64 - o64).max() / np.abs(o64).max()
+    print(f"m={m}: vs df_function_bl rel {rel:.2e} (bit-parity {bitpar}); "
+          f"vs f64 oracle rel {rel_oracle:.2e}", flush=True)
+    assert rel < 1e-12, f"pallas elem kernel diverges from df_function_bl: {rel}"
+    assert rel_oracle < 1e-11, f"pallas elem kernel off f64 oracle: {rel_oracle}"
+
+    # throughput: back-to-back dispatches with ONE final host fetch
+    # (block_until_ready is optimistic on axon; the fetch serializes)
+    reps = 30
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        got = call(x)
+    float(jnp.sum(got.hi))
+    dt = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        (ref,) = df_function_bl(kfn)(x)
+    float(jnp.sum(ref.hi))
+    dt_ref = time.perf_counter() - t0
+    print(f"m={m}: pallas {reps * e / dt / 1e6:.2f} Melem/s vs xla-df "
+          f"{reps * e / dt_ref / 1e6:.2f} Melem/s", flush=True)
+print("OK")
+"""
+
 _REFINED_SCRIPT = r"""
 import os
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
@@ -179,6 +254,7 @@ def checks():
         "pallas-f32": pallas_script,
         "dfk": dfk_script,
         "pallas-df": _PALLAS_DF_SCRIPT,
+        "pallas-elem": _PALLAS_ELEM_SCRIPT,
         "mg-df": _MGDF_SCRIPT,
         "refined": _REFINED_SCRIPT,
     }
