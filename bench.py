@@ -139,13 +139,20 @@ def bench_case(et: str):
 
 
 def bench_scale(n: int = 1024, et: str = "t"):
-    """Large-scale metrics (SURVEY §7 step 7): warm assembly Melem/s via
-    the grid-df pipeline, refined-solve time/iterations/golden error,
-    and the Pallas df SpMV streaming bandwidth — all honest-timed
-    (chained device work + host fetch). Returns a dict for the JSON
-    line; raises on any failure (caller degrades gracefully)."""
+    """Large-scale metrics (SURVEY §7 step 7), all honest-timed (chained
+    device work + host fetch):
+      - production refined solve (matrix-free class-table fine operator):
+        operator-rebuild time, solve time, inner iterations, golden error
+      - grid-df assembly throughput (Melem/s) on the fine mesh — the
+        general-structured-grid pipeline, probed explicitly since the
+        uniform-grid production path no longer materializes the pair
+      - Pallas df SpMV streaming bandwidth on that probe pair
+      - class-table df matvec latency (the production CG operator)
+    Returns a dict for the JSON line; raises on any failure (caller
+    degrades gracefully)."""
     from fem_shell_tpu.mg import MultigridShellSystem
-    from fem_shell_tpu.ops.df import DF, df_from_f64, df_to_f64
+    from fem_shell_tpu.ops.class_matvec import class_matvec_df
+    from fem_shell_tpu.ops.df import DF, df_from_f64
 
     golden = 0.1064045  # analytic Kirchhoff (doc/validation.tex:264-281)
     p = MeshGenParams(et, n, n, 0, 0, 10, 10, (0, 0, 0, 0), 300.0, 2, et == "q", "z")
@@ -163,17 +170,61 @@ def bench_scale(n: int = 1024, et: str = "t"):
     t_solve = time.perf_counter() - t0
     w = float(u[mesh.n_nodes // 2, 2])
     err = abs(w - golden) / golden
-
-    # Pallas df SpMV bandwidth: chained matvecs in one jit + fetch
-    pair = mg._fine_df
     fine = mg._fine
-    iters = 20
-    x0 = df_from_f64(jnp.zeros((6, fine.npad), jnp.float64) + 1e-3)
+    out = {
+        "n": n,
+        "elem_type": et,
+        "elements": n_elem,
+        "dofs": 6 * mesh.n_nodes,
+        "operator_rebuild_s": round(t_asm, 3),
+        "solve_s": round(t_solve, 3),
+        "inner_iters": mg.last_iters,
+        "true_residual": float(f"{mg.last_residual:.3e}"),
+        "golden_err": float(f"{err:.3e}"),
+        "fine_operator": "class" if mg._cdf is not None else "pair",
+    }
+
+    # class-table df matvec latency: chained matvecs in one jit + fetch
+    if mg._cdf is not None:
+        iters = 20
+        x0 = df_from_f64(jnp.zeros((6, fine.npad), jnp.float64) + 1e-3)
+
+        @jax.jit
+        def chain_c(cp, x):
+            def body(i, c):
+                y = class_matvec_df(cp, c)
+                s = jnp.max(jnp.abs(y.hi))
+                return DF(y.hi / s, y.lo / s)
+
+            y = jax.lax.fori_loop(0, iters, body, x)
+            return jnp.sum(y.hi)
+
+        float(chain_c(mg._cdf, x0))  # warm
+        t0 = time.perf_counter()
+        float(chain_c(mg._cdf, x0))
+        dt = time.perf_counter() - t0
+        out["class_mv_ms"] = round(dt / iters * 1e3, 3)
+
+    # grid-df assembly Melem/s + Pallas df SpMV GB/s on a probe pair
+    # (assembled transiently: the production solve above never builds it)
+    sys0 = mg._systems[0]
+    kw = dict(strip_nodes=mg._df_strip_nodes, chunk=mg._df_chunk,
+              layout="tiled" if mg.use_pallas else "flat", with_diag=True,
+              method="grid" if jax.devices()[0].platform != "cpu" else "auto")
+    pair, _diag = sys0.assemble_df(**kw)  # warm/compile
+    t0 = time.perf_counter()
+    pair, _diag = sys0.assemble_df(**kw)
+    t_grid = time.perf_counter() - t0
+    out["assembly_s"] = round(t_grid, 3)
+    out["assembly_melem_s"] = round(n_elem / t_grid / 1e6, 3)
 
     from fem_shell_tpu.ops.pallas_spmv_df import (
         stencil_spmv_pallas_df,
         stencil_spmv_pallas_df_flat,
     )
+
+    iters = 20
+    x0 = df_from_f64(jnp.zeros((6, fine.npad), jnp.float64) + 1e-3)
 
     @jax.jit
     def chain(vh, vl, x):
@@ -193,21 +244,8 @@ def bench_scale(n: int = 1024, et: str = "t"):
     float(chain(pair.hi, pair.lo, x0))
     dt = time.perf_counter() - t0
     nbytes = pair.hi.size * 4 * 2  # hi + lo streamed per matvec
-    gbs = iters * nbytes / dt / 1e9
-
-    return {
-        "n": n,
-        "elem_type": et,
-        "elements": n_elem,
-        "dofs": 6 * mesh.n_nodes,
-        "assembly_s": round(t_asm, 3),
-        "assembly_melem_s": round(n_elem / t_asm / 1e6, 3),
-        "solve_s": round(t_solve, 3),
-        "inner_iters": mg.last_iters,
-        "true_residual": float(f"{mg.last_residual:.3e}"),
-        "golden_err": float(f"{err:.3e}"),
-        "pallas_df_spmv_gbs": round(gbs, 1),
-    }
+    out["pallas_df_spmv_gbs"] = round(iters * nbytes / dt / 1e9, 1)
+    return out
 
 
 def main():

@@ -140,20 +140,22 @@ class _Level:
     chol: Optional[jnp.ndarray] = None  # coarsest: Cholesky of scaled dense
     chol_scale: Optional[jnp.ndarray] = None  # d^-1/2 for the scaled factor
     lam: Optional[jnp.ndarray] = None  # lambda_max(D^-1 A) estimate (Chebyshev)
+    cparts: Optional[object] = None  # matrix-free class-table operator (uniform grids)
 
     def tree_flatten(self):
         return (
             (self.values, self.free_t, self.inv_diag, self.dense_inv, self.omega,
-             self.chol, self.chol_scale, self.lam),
+             self.chol, self.chol_scale, self.lam, self.cparts),
             (self.offsets, self.nyp, self.nxp, self.npad),
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        values, free_t, inv_diag, dense_inv, omega, chol, chol_scale, lam = children
+        (values, free_t, inv_diag, dense_inv, omega, chol, chol_scale, lam,
+         cparts) = children
         offsets, nyp, nxp, npad = aux
         return cls(values, offsets, free_t, inv_diag, nyp, nxp, npad, dense_inv,
-                   omega, chol, chol_scale, lam)
+                   omega, chol, chol_scale, lam, cparts)
 
 
 def _to_grid(x, lvl: _Level):
@@ -220,13 +222,21 @@ class MultigridShellSystem:
         assemble: bool = True,
         smoother: str = "jacobi",
         elem_pallas: bool = False,
+        class_operator: Optional[bool] = None,
     ):
         """``df_operator=True`` is the multi-million-element configuration:
         every level is strip-assembled into a df (two-f32) operator
         (LargeShellSystem.assemble_df) — f64-class entry accuracy with no
         full-size f64 buffer; the fine-level df pair drives the outer df
         CG while the V-cycle smooths on the (free) hi parts. Use with
-        dtype=jnp.float32 and solve via solve_df."""
+        dtype=jnp.float32 and solve via solve_df.
+
+        ``class_operator`` (df mode, UNIFORM grids): replace the fine
+        level's materialized operator with the matrix-free class-table
+        matvec (ops/class_matvec.py) — the fine pair (10.7 GB at the 10M
+        element scale) is never assembled or stored. None = auto (on when
+        the exact-stencil class builder accepts the mesh), False = force
+        the materialized pair, True = require (raises on non-uniform)."""
         if isinstance(mesh, MeshGenParams):
             mesh, _, _ = generate(mesh)
         self.material = material
@@ -298,6 +308,8 @@ class MultigridShellSystem:
 
         self.levels: List[_Level] = []
         self._systems: List = []  # per-level assemblers, kept for reassemble()
+        self._cdf = None  # matrix-free class operator (set by the l==0 branch)
+        self._fine_df = None
         for l in range(n_levels):
             f = 2**l
             if (grid.nxp - 1) % f or (grid.nyp - 1) % f:
@@ -335,6 +347,33 @@ class MultigridShellSystem:
                     )
                 )
                 continue
+            if df_operator and l == 0 and class_operator is not False and n_levels > 1:
+                # matrix-free fine level: exact-stencil class tables
+                # instead of a materialized pair (uniform grids only —
+                # build_exact_stencil raises on anything else)
+                try:
+                    cparts, diag = self._build_class_level(mesh, sys_l)
+                except ValueError:
+                    if class_operator:
+                        raise
+                    cparts, diag = None, None
+                if cparts is not None:
+                    self._cdf = cparts
+                    self._fine_df = None
+                    self._systems.append(sys_l)
+                    lvl = _Level(
+                        values=None,
+                        offsets=tuple(int(o) for o in sys_l.offsets),
+                        free_t=sys_l.free_t,
+                        inv_diag=jnp.where(diag != 0, 1.0 / diag, 1.0),
+                        nyp=nyp_l,
+                        nxp=nxp_l,
+                        npad=sys_l.pattern.n_pad,
+                        cparts=cparts,
+                    )
+                    om, lam = self._level_omega(lvl)
+                    self.levels.append(dataclasses.replace(lvl, omega=om, lam=lam))
+                    continue
             if df_operator:
                 # every level goes through the donated pipeline (peak
                 # memory = running levels + ONE pair); only the fine level
@@ -399,6 +438,17 @@ class MultigridShellSystem:
         self._solve_jit = jax.jit(self._solve_impl, static_argnums=(2, 3))
 
     # ------------------------------------------------------------------
+    def _build_class_level(self, mesh, sys_l):
+        """Host: exact-stencil tables -> matrix-free class operator parts
+        for the fine level (raises ValueError off uniform grids)."""
+        from fem_shell_tpu.ops.class_matvec import build_class_parts
+        from fem_shell_tpu.ops.exact_stencil import build_exact_stencil
+
+        st = build_exact_stencil(mesh, self.material, sys_l.offsets)
+        self._exact_st = st
+        return build_class_parts(st, sys_l.pattern.n_pad)
+
+    # ------------------------------------------------------------------
     def _diag_of(self, values, offsets):
         if values.ndim == 4:  # tile-major Pallas layout
             from fem_shell_tpu.ops.assemble_grid import soa_diagonal_tiled
@@ -413,6 +463,22 @@ class MultigridShellSystem:
         (doc/validation.tex:500-537); coupled drivers would use it when
         geometry changes."""
         for l, sys_l in enumerate(self._systems):
+            if l == 0 and self._cdf is not None:
+                # matrix-free class level: re-derive the tables from the
+                # mesh (the honest per-rep "assembly" of this path)
+                if hasattr(self, "_exact_st"):
+                    del self._exact_st
+                cparts, diag = self._build_class_level(self._fine_mesh, sys_l)
+                self._cdf = cparts
+                lvl = dataclasses.replace(
+                    self.levels[0],
+                    values=None,
+                    cparts=cparts,
+                    inv_diag=jnp.where(diag != 0, 1.0 / diag, 1.0),
+                )
+                om, lam = self._level_omega(lvl)
+                self.levels[0] = dataclasses.replace(lvl, omega=om, lam=lam)
+                continue
             # release the old operator FIRST: at the largest scale two df
             # pairs cannot coexist in HBM
             self.levels[l] = dataclasses.replace(self.levels[l], values=None)
@@ -464,8 +530,13 @@ class MultigridShellSystem:
 
     # ------------------------------------------------------------------
     def _mv(self, lvl: _Level, x):
-        """Level matvec: Pallas stencil kernel on tile-major f32
-        operators (real accelerator), XLA soa_matvec otherwise."""
+        """Level matvec: matrix-free class-table operator when the level
+        carries one, Pallas stencil kernel on tile-major f32 operators
+        (real accelerator), XLA soa_matvec otherwise."""
+        if lvl.values is None and lvl.cparts is not None:
+            from fem_shell_tpu.ops.class_matvec import class_matvec_f32
+
+            return class_matvec_f32(lvl.cparts, x)
         if lvl.values.ndim == 4:  # tile-major => Pallas
             from fem_shell_tpu.ops.pallas_spmv import stencil_spmv_pallas_tiled
 
@@ -579,7 +650,7 @@ class MultigridShellSystem:
     def _solve_impl(self, levels, forces_t, rtol, maxiter):
         lvl = levels[0]
         b = forces_t * lvl.free_t
-        mv = lambda x: soa_matvec(lvl.values, x, offsets=lvl.offsets)  # noqa: E731
+        mv = lambda x: self._mv(lvl, x)  # noqa: E731
         prec = lambda r: self._vcycle(levels, 0, r)  # noqa: E731
         return pcg(mv, b, rtol=rtol, maxiter=maxiter, apply_prec=prec)
 
@@ -680,24 +751,56 @@ class MultigridShellSystem:
         res = pcg_df(mv, b, rtol=rtol, maxiter=maxiter, apply_prec=prec)
         return df_to_f64(res.x), res.iters, res.residual
 
+    def _solve_df_impl_class(self, levels, forces_t64, rtol, maxiter):
+        """df outer CG over the matrix-free class-table operator
+        (ops/class_matvec.py): no fine-level operator storage at all —
+        the 10M-element configuration's production solve."""
+        from fem_shell_tpu.ops.class_matvec import class_matvec_df
+        from fem_shell_tpu.ops.df import DF, df_from_f64, df_to_f64
+        from fem_shell_tpu.solver_df import pcg_df
+
+        fine = levels[0]
+        b = df_from_f64(forces_t64 * fine.free_t.astype(jnp.float64))
+        mv = lambda x: class_matvec_df(fine.cparts, x)  # noqa: E731
+
+        def prec(r: "DF"):
+            z32 = self._vcycle(levels, 0, r.hi)
+            return DF(z32, jnp.zeros_like(z32))
+
+        res = pcg_df(mv, b, rtol=rtol, maxiter=maxiter, apply_prec=prec)
+        return df_to_f64(res.x), res.iters, res.residual
+
     def solve_df(self, forces, rtol: float = 1e-9, maxiter: int = 2000):
         if self.df_operator:
             # the df pair is ~2x the operator size — it MUST cross the jit
             # boundary as an ARGUMENT (closure constants are embedded into
             # the serialized HLO; remote-compile size limit)
             if not hasattr(self, "_solve_df_jit"):
-                self._solve_df_jit = jax.jit(self._solve_df_impl_pair, static_argnums=(3, 4))
+                impl = (
+                    self._solve_df_impl_class
+                    if self._cdf is not None
+                    else self._solve_df_impl_pair
+                )
+                nstat = 2 if self._cdf is not None else 3
+                self._solve_df_jit = jax.jit(
+                    impl, static_argnums=(nstat, nstat + 1)
+                )
             lvl = self._fine
             f = np.zeros((lvl.npad, 6))
             f[: lvl.nyp * lvl.nxp] = np.asarray(forces)
             f_t = jnp.asarray(f.T, jnp.float64)
-            levels_arg = [dataclasses.replace(self.levels[0], values=None)] + list(
-                self.levels[1:]
-            )
             with jax.default_matmul_precision("highest"):
-                x64, iters, res = self._solve_df_jit(
-                    self._fine_df, levels_arg, f_t, rtol, maxiter
-                )
+                if self._cdf is not None:
+                    x64, iters, res = self._solve_df_jit(
+                        self.levels, f_t, rtol, maxiter
+                    )
+                else:
+                    levels_arg = [
+                        dataclasses.replace(self.levels[0], values=None)
+                    ] + list(self.levels[1:])
+                    x64, iters, res = self._solve_df_jit(
+                        self._fine_df, levels_arg, f_t, rtol, maxiter
+                    )
             self.last_iters = int(iters)
             self.last_residual = float(res)
             return np.asarray(x64).T[: lvl.nyp * lvl.nxp]
@@ -729,13 +832,16 @@ class MultigridShellSystem:
     # stencil (ops/exact_stencil.py) restores ~1e-8-class accuracy at df
     # speed. Requires df_operator mode.
     def _ensure_exact_stencil(self):
-        if hasattr(self, "_exact_st"):
+        if hasattr(self, "_tabs"):
             return
         from fem_shell_tpu.ops.exact_stencil import build_exact_stencil, class_flat_tables
 
-        st = build_exact_stencil(
-            self._fine_mesh, self.material, self.levels[0].offsets
-        )
+        if hasattr(self, "_exact_st"):
+            st = self._exact_st
+        else:
+            st = build_exact_stencil(
+                self._fine_mesh, self.material, self.levels[0].offsets
+            )
         self._exact_st = st
         tfl0, tfl1, tfl2, cls_flat = class_flat_tables(st)
         self._tabs = {
@@ -803,6 +909,19 @@ class MultigridShellSystem:
         from fem_shell_tpu.ops.df import DF, df_stencil_matvec
         from fem_shell_tpu.solver_df import pcg_df
 
+        if fine_df is None:  # matrix-free class-table operator
+            from fem_shell_tpu.ops.class_matvec import class_matvec_df
+
+            fine = levels[0]
+            mv = lambda x: class_matvec_df(fine.cparts, x)  # noqa: E731
+
+            def prec(r):
+                z32 = self._vcycle(levels, 0, r.hi)
+                return DF(z32, jnp.zeros_like(z32))
+
+            res = pcg_df(mv, b, rtol=rtol, maxiter=maxiter, apply_prec=prec)
+            return res.x, res.iters, res.residual
+
         fine = dataclasses.replace(levels[0], values=fine_df.hi)
         levels = [fine] + list(levels[1:])
         if fine_df.hi.ndim == 4:
@@ -823,7 +942,7 @@ class MultigridShellSystem:
         res = pcg_df(mv, b, rtol=rtol, maxiter=maxiter, apply_prec=prec)
         return res.x, res.iters, res.residual
 
-    def _refine_residual_impl(self, fine_df, tabs, x, b):
+    def _refine_residual_impl(self, fine_df, cdf, tabs, x, b):
         """True residual r = b - A_true x and its relative norm. Pallas
         path: tf (compensated) SpMV on the class pair + plain-f32 t2
         correction; XLA path: full class-table EFT residual."""
@@ -836,7 +955,14 @@ class MultigridShellSystem:
         fine = self.levels[0]
         nyp, nxp, npad = fine.nyp, fine.nxp, fine.npad
         offs2d = self._exact_st.offs2d
-        if self.use_pallas:
+        if cdf is not None:  # matrix-free class-table operator
+            from fem_shell_tpu.ops.class_matvec import class_ecorr_f32, class_matvec_df
+
+            y = class_matvec_df(cdf, x)
+            r = df_add(b, df_neg(y))
+            e = class_ecorr_f32(cdf, x.hi)
+            r = df_add(r, DF(-e, jnp.zeros_like(e)))
+        elif self.use_pallas:
             if fine_df.hi.ndim == 4:
                 from fem_shell_tpu.ops.pallas_spmv_df import stencil_spmv_pallas_df
 
@@ -885,7 +1011,11 @@ class MultigridShellSystem:
         floor via the contraction stall and stops."""
         if not self.df_operator:
             raise ValueError("solve_df_refined requires df_operator=True")
-        self._ensure_class_pair()
+        if self._cdf is None:
+            # materialized-pair path: swap in the class-consistent pair so
+            # the E-correction is exact; the class-operator path needs no
+            # pair at all (its matvec IS class-consistent by construction)
+            self._ensure_class_pair()
         if os.environ.get("FEMSHELL_MEMDUMP"):
             import collections
 
@@ -925,7 +1055,9 @@ class MultigridShellSystem:
             total = int(it0)
             hist = []
             for _ in range(n_refine):
-                r, rn = self._residual_jit(self._fine_df, self._tabs, x, b)
+                r, rn = self._residual_jit(
+                    self._fine_df, self._cdf, getattr(self, "_tabs", None), x, b
+                )
                 rn = float(rn)
                 hist.append(rn)
                 if verbose:

@@ -65,7 +65,12 @@ _F32 = jnp.float32
 # bench golden check.
 # ----------------------------------------------------------------------
 
-_SPLITTER = jnp.float32(4097.0)  # 2^12 + 1, Dekker f32 splitting
+# 2^12 + 1, Dekker f32 splitting. np scalar, NOT jnp: a module-level jnp
+# constant initializes the default backend at import time, and on this
+# machine that opens (and holds) the single-client axon TPU tunnel —
+# which silently starves every TPU subprocess (run_tpu_tests children
+# then fall back to CPU and skip).
+_SPLITTER = np.float32(4097.0)
 _ob = jax.lax.optimization_barrier
 
 

@@ -11,12 +11,13 @@ evaluated against an exact-stencil correction operator E = A_true - A_df
 at df speed.
 
 Default: 2304 x 2304 Tri-3 plate -> 10.6M elements, 5.3M nodes, 31.9M
-DOF. (Tri-3's 7-point stencil keeps the df operator pair at ~10.7 GB;
-a 10M-element Quad-4 grid's 9-point pair would not fit 16 GB HBM.)
+DOF.
 
-Pipeline: grid-df assembly (df-jaxpr kernels + shifted-window
-accumulation, ops/assemble_grid.py) -> geometric-multigrid-
-preconditioned df CG with Pallas stencil matvecs (mg.py).
+Pipeline (uniform grid): MATRIX-FREE class-table fine operator
+(ops/class_matvec.py — the fine-level df pair, 10.7 GB at this size, is
+never materialized; peak HBM drops to ~4 GB), coarse levels grid-df
+assembled (ops/assemble_grid.py), geometric-multigrid-preconditioned df
+CG (mg.py).
 
 Golden: the exact Kirchhoff deflection for this SS uniform-load plate is
 w* = 0.0040624 * q * a^4 / D = 0.1064045 (reference
@@ -92,7 +93,9 @@ def main():
     t_solve = time.perf_counter() - t0
     w = float(u[mesh.n_nodes // 2, 2])
     print(
-        f"warm: assembly {t_asm:.2f} s ({n_elem / t_asm / 1e6:.2f} Melem/s)  "
+        f"warm: operator rebuild {t_asm:.2f} s "
+        f"({n_elem / t_asm / 1e6:.2f} Melem/s equivalent; fine level = "
+        f"{'class tables' if mg._cdf is not None else 'grid-df pair'})  "
         f"solve {t_solve:.2f} s ({mg.last_iters} inner iters, "
         f"true res={mg.last_residual:.2e})  overall {t_asm + t_solve:.2f} s  "
         f"center w={w:.7f} err={abs(w - GOLDEN) / GOLDEN:.2e}",
