@@ -264,13 +264,22 @@ def main():
         "unit": "s",
         "vs_baseline": round(BASELINES["q"] / t_quad, 2),
     }
+    # Emit the headline line FIRST and flushed: the scale section below
+    # pays ~1 h of remote compiles on this machine (the axon AOT path
+    # bypasses the persistent JAX cache) and a harness timeout there
+    # must not be able to lose the primary metric.
+    print(json.dumps(payload), flush=True)
     if os.environ.get("FEMSHELL_BENCH_SCALE", "1") != "0":
         try:
-            payload["scale"] = bench_scale()
-            print(f"# scale: {payload['scale']}", file=sys.stderr)
+            scale = bench_scale()
+            print(f"# scale: {scale}", file=sys.stderr)
+            path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "SCALE_BENCH.json")
+            with open(path, "w") as f:
+                json.dump({"metric": "scale_1024_tri", **scale}, f)
+                f.write("\n")
         except Exception as e:  # pragma: no cover
             print(f"# scale bench unavailable ({type(e).__name__}: {e})", file=sys.stderr)
-    print(json.dumps(payload))
 
 
 if __name__ == "__main__":
