@@ -270,16 +270,40 @@ def main():
     # must not be able to lose the primary metric.
     print(json.dumps(payload), flush=True)
     if os.environ.get("FEMSHELL_BENCH_SCALE", "1") != "0":
-        try:
-            scale = bench_scale()
-            print(f"# scale: {scale}", file=sys.stderr)
+        # Watchdog: the remote TPU worker has been observed to wedge
+        # mid-compile (a blocked RPC that never returns, seen r2); run
+        # the scale section in a daemon thread and hard-exit on timeout
+        # so this process can never hang the harness. The headline line
+        # above is already flushed either way.
+        import threading
+
+        budget = float(os.environ.get("FEMSHELL_BENCH_SCALE_TIMEOUT", "4500"))
+        result: dict = {}
+
+        def _run():
+            try:
+                result["scale"] = bench_scale()
+            except Exception as e:  # pragma: no cover
+                result["error"] = f"{type(e).__name__}: {e}"
+
+        th = threading.Thread(target=_run, daemon=True)
+        th.start()
+        th.join(budget)
+        if th.is_alive():  # pragma: no cover - wedged remote worker
+            print(f"# scale bench timed out after {budget:.0f} s (wedged "
+                  f"remote compile?); see SCALE_BENCH.json from a prior run",
+                  file=sys.stderr, flush=True)
+            os._exit(0)
+        if "scale" in result:
+            print(f"# scale: {result['scale']}", file=sys.stderr)
             path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 "SCALE_BENCH.json")
             with open(path, "w") as f:
-                json.dump({"metric": "scale_1024_tri", **scale}, f)
+                json.dump({"metric": "scale_1024_tri", **result["scale"]}, f)
                 f.write("\n")
-        except Exception as e:  # pragma: no cover
-            print(f"# scale bench unavailable ({type(e).__name__}: {e})", file=sys.stderr)
+        else:  # pragma: no cover
+            print(f"# scale bench unavailable ({result.get('error')})",
+                  file=sys.stderr)
 
 
 if __name__ == "__main__":
