@@ -252,6 +252,23 @@ def bench_scale(n: int = 1024, et: str = "t"):
 
 
 def main():
+    # Process-level watchdog: device discovery itself can block forever
+    # when the remote TPU worker is wedged (observed r2). Guarantee
+    # termination: no JSON line is emitted in that case (exit 1) so the
+    # harness sees a failed run rather than a hang or a bogus metric.
+    import threading
+
+    total = float(os.environ.get("FEMSHELL_BENCH_TOTAL_TIMEOUT", "7200"))
+
+    def _abort():  # pragma: no cover - wedged remote worker
+        print(f"# bench timed out after {total:.0f} s (TPU unreachable or "
+              f"wedged remote compile)", file=sys.stderr, flush=True)
+        os._exit(1)
+
+    killer = threading.Timer(total, _abort)
+    killer.daemon = True
+    killer.start()
+
     print(f"# device={jax.devices()[0]}", file=sys.stderr)
     t_tri, label_tri = bench_case("t")
     print(
