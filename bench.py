@@ -269,7 +269,21 @@ def main():
     killer.daemon = True
     killer.start()
 
+    # Fail fast when the TPU is unreachable: device discovery either
+    # returns in seconds or blocks indefinitely (stuck tunnel) — don't
+    # burn the whole budget on it.
+    disco = float(os.environ.get("FEMSHELL_BENCH_DISCOVERY_TIMEOUT", "600"))
+
+    def _disco_abort():  # pragma: no cover - unreachable TPU
+        print(f"# device discovery blocked for {disco:.0f} s — TPU "
+              f"unreachable; aborting", file=sys.stderr, flush=True)
+        os._exit(1)
+
+    disco_killer = threading.Timer(disco, _disco_abort)
+    disco_killer.daemon = True
+    disco_killer.start()
     print(f"# device={jax.devices()[0]}", file=sys.stderr)
+    disco_killer.cancel()
     t_tri, label_tri = bench_case("t")
     print(
         f"# tri-3 overall: {t_tri:.4f} s via {label_tri} "
