@@ -39,6 +39,7 @@ from fem_shell_tpu.ops.assemble_grid import _make_grid_step
 from fem_shell_tpu.ops.df import DF
 from fem_shell_tpu.ops.dfk import two_sum
 from fem_shell_tpu.ops.soa import add_unit_diagonal_df
+from fem_shell_tpu.parallel.stencil_shard import AXIS as _DF_AXIS
 
 
 def partition_rows(nyp: int, n_shards: int) -> List[int]:
@@ -199,3 +200,162 @@ def rowblocks_diag(blocks: Sequence[DF], offsets, k: int) -> List[jnp.ndarray]:
     return [
         jnp.stack([b.hi[(a * 6 + a) * k + k0] for a in range(6)]) for b in blocks
     ]
+
+
+# ----------------------------------------------------------------------
+# end-to-end: sharded grid-df assembly feeding the sharded df solver
+# ----------------------------------------------------------------------
+
+
+class GridShardedDFShellSystem:
+    """Multi-chip production solver on structured grids where the
+    OPERATOR, too, is built by the sharded shifted-window df pipeline —
+    no per-shard emulated-f64 element loop anywhere (the last f64 stage
+    of the sharded path).
+
+    Row partition: R = ceil(nyp / n_shards) node rows per shard (the
+    last shard takes the remainder + lane padding), so the per-shard
+    strip length is ``l = R * nxp`` — a contiguous flat partition that
+    matches ShardedStencilSystem's strip semantics exactly, and the df
+    CG machinery of parallel/df_shard.py (halo-exchange df matvec,
+    psum dots) is reused verbatim on the reshaped row blocks."""
+
+    def __init__(self, mesh, material, device_mesh, use_pallas=None,
+                 eager_asm: Optional[bool] = None):
+        from fem_shell_tpu.mg import detect_structured_grid
+        from fem_shell_tpu.parallel.df_shard import ShardedDFShellSystem
+        from fem_shell_tpu.ops.elements import (
+            quad_shell_stiffness,
+            tri_shell_stiffness,
+        )
+
+        grid = detect_structured_grid(mesh)
+        if grid is None:
+            raise ValueError(
+                "GridShardedDFShellSystem requires a structured grid mesh"
+            )
+        self.grid = grid
+        s = int(np.prod(list(device_mesh.shape.values())))
+        nyp, nxp = grid.nyp, grid.nxp
+        r_rows = -(-nyp // s)
+        if (s - 1) * r_rows > nyp - 2:
+            raise ValueError(
+                f"grid too small for {s} shards: {nyp} node rows need "
+                f">=1 element row on the last shard (R={r_rows})"
+            )
+        self._row_starts = [i * r_rows for i in range(s)] + [nyp]
+        self.sys = ShardedDFShellSystem(
+            mesh, material, device_mesh, l_force=r_rows * nxp,
+            use_pallas=use_pallas,
+        )
+        dm64, dp64 = material.matrices()
+        dm = jnp.asarray(dm64, jnp.float64)
+        dp = jnp.asarray(dp64, jnp.float64)
+        base = tri_shell_stiffness if grid.elem_type == "t" else quad_shell_stiffness
+        t = material.thickness
+        self._kernel_fn = lambda p: base(p, dm, dp, t)  # noqa: E731
+        if eager_asm is None:
+            eager_asm = jax.devices()[0].platform == "cpu"
+        self._eager_asm = eager_asm
+        self.last_iters = 0
+        self.last_residual = np.inf
+        self._vals = None
+
+    # ------------------------------------------------------------------
+    def assemble(self):
+        """Sharded row-block assembly -> per-shard [36K, l] df pair as a
+        device-sharded global array pair [(s, 36K, l)]."""
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        sys = self.sys
+        s, l, k = sys.n_shards, sys.l, sys.k
+        nxp = self.grid.nxp
+        devs = list(sys.device_mesh.devices.flat)
+        free_flat = np.asarray(sys.free).transpose(1, 0, 2).reshape(6, sys.n_tot)
+        blocks = assemble_grid_df_rowblocks(
+            self.grid, np.asarray(sys.mesh.coords, np.float64),
+            free_flat.astype(np.float32), tuple(sys.offsets),
+            self._kernel_fn, self._row_starts,
+            eager=self._eager_asm, devices=devs,
+        )
+        # pad the last shard's block to l; padded (absent) nodes get the
+        # unit diagonal, matching assemble_vals_spmd's constrained rows
+        k0 = int(np.searchsorted(np.asarray(sys.offsets), 0))
+        padded = []
+        for b in blocks:
+            pad = l - b.hi.shape[1]
+            if pad == 0:
+                padded.append(b)
+                continue
+            hi = jnp.pad(b.hi, ((0, 0), (0, pad)))
+            lo = jnp.pad(b.lo, ((0, 0), (0, pad)))
+            for a in range(6):
+                hi = hi.at[(a * 6 + a) * k + k0, l - pad:].add(1.0)
+            padded.append(DF(hi, lo))
+
+        sharding = NamedSharding(sys.device_mesh, P(_DF_AXIS))
+
+        def mk(get):
+            return jax.make_array_from_single_device_arrays(
+                (s, 36 * k, l), sharding, [get(b)[None] for b in padded]
+            )
+
+        self._vals = (mk(lambda b: b.hi), mk(lambda b: b.lo))
+        return self._vals
+
+    # ------------------------------------------------------------------
+    def _solve_impl(self, hi_s, lo_s, forces_l, rtol, maxiter):
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+        from fem_shell_tpu.ops.df import df_scalar_from_f64  # noqa: F401
+        from fem_shell_tpu.parallel.df_shard import make_df_matvec, pcg_df_spmd
+
+        sys = self.sys
+        k, l = sys.k, sys.l
+
+        def spmd(hi_l, lo_l, free_l, b_l):
+            hi_l, lo_l = hi_l[0], lo_l[0]
+            free_l, b_l = free_l[0], b_l[0]
+            vals_df = DF(hi_l.reshape(6, 6, k, l), lo_l.reshape(6, 6, k, l))
+            k0 = int(np.searchsorted(np.asarray(sys.offsets), 0))
+            diag = jnp.einsum("aan->an", vals_df.hi[:, :, k0, :])
+            inv_diag = jnp.where(diag != 0, 1.0 / diag, 1.0).astype(jnp.float32)
+            matvec = make_df_matvec(sys, vals_df, sys.use_pallas)
+            b64 = (b_l * free_l).astype(jnp.float64)
+            bh = b64.astype(jnp.float32)
+            b = DF(bh, (b64 - bh.astype(jnp.float64)).astype(jnp.float32))
+            prec = lambda r: DF(inv_diag * r.hi, inv_diag * r.lo)  # noqa: E731
+            x64, it, res = pcg_df_spmd(matvec, b, prec, rtol, maxiter)
+            return x64[None], it[None], res[None]
+
+        return shard_map(
+            spmd,
+            mesh=sys.device_mesh,
+            in_specs=(P(_DF_AXIS), P(_DF_AXIS), P(_DF_AXIS), P(_DF_AXIS)),
+            out_specs=(P(_DF_AXIS), P(_DF_AXIS), P(_DF_AXIS)),
+            check_vma=False,
+        )(hi_s, lo_s, sys.free, forces_l)
+
+    # ------------------------------------------------------------------
+    def solve(self, forces, rtol: float = 1e-10, maxiter: int = 20000):
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        sys = self.sys
+        if self._vals is None:
+            self.assemble()
+        hi_s, lo_s = self._vals
+        s, l = sys.n_shards, sys.l
+        f = np.zeros((sys.n_tot, 6))
+        f[: sys.mesh.n_nodes] = np.asarray(forces)
+        f_l = jnp.asarray(f.T.reshape(6, s, l).transpose(1, 0, 2), jnp.float64)
+        f_l = jax.device_put(f_l, NamedSharding(sys.device_mesh, P(_DF_AXIS)))
+        if not hasattr(self, "_solve_jit"):
+            self._solve_jit = jax.jit(self._solve_impl, static_argnums=(3, 4))
+        with jax.default_matmul_precision("highest"):
+            x, it, res = self._solve_jit(hi_s, lo_s, f_l, rtol, maxiter)
+        self.last_iters = int(np.max(np.asarray(it)))
+        self.last_residual = float(np.max(np.asarray(res)))
+        x = np.asarray(x).transpose(1, 0, 2).reshape(6, sys.n_tot).T
+        return x[: sys.mesh.n_nodes]

@@ -117,6 +117,32 @@ def test_diag_after_halo_exchange():
     assert np.abs(cat - ref_diag).max() < 1e-13 * scale
 
 
+def test_grid_sharded_df_solver_golden_and_invariance():
+    """End-to-end: the sharded grid-df ASSEMBLY feeding the sharded df
+    CG (GridShardedDFShellSystem) — shard-count invariant and matching
+    the f64 oracle at the CPU-jit df floor (the SOLVE's EFTs are
+    FMA-degraded under CPU jit; the assembly here runs eager/exact)."""
+    from fem_shell_tpu.parallel.grid_asm_shard import GridShardedDFShellSystem
+    from fem_shell_tpu.parallel.sharded import make_device_mesh
+    from fem_shell_tpu.system import ShellSystem
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >=4 (virtual) devices")
+    p = MeshGenParams("q", 16, 64, 0, 0, 2.5, 10, (0, 0, 0, 0), 300.0, 2, True, "z")
+    mesh, rows, fac = generate(p)
+    us = {}
+    for nd in (1, 2, 4):
+        sys = GridShardedDFShellSystem(mesh, MAT, make_device_mesh(nd))
+        u = sys.solve(rows * fac, rtol=1e-9, maxiter=20000)
+        assert sys.last_residual < 1e-9
+        us[nd] = u
+    scale = np.abs(us[1]).max()
+    assert np.abs(us[1] - us[2]).max() < 1e-5 * scale
+    assert np.abs(us[1] - us[4]).max() < 1e-5 * scale
+    u64 = np.asarray(ShellSystem(mesh, MAT).solve(rows * fac))
+    assert np.abs(us[1] - u64).max() < 1e-4 * np.abs(u64).max()
+
+
 def test_multi_device_placement():
     """Jitted path with per-shard device placement on the 8-CPU-device
     test mesh: blocks land on their devices and match the eager oracle at
