@@ -338,6 +338,91 @@ class GridShardedDFShellSystem:
         )(hi_s, lo_s, sys.free, forces_l)
 
     # ------------------------------------------------------------------
+    def solve_refined(
+        self,
+        forces,
+        rtol: float = 1e-9,
+        n_refine: int = 6,
+        inner_rtol: float = 1e-5,
+        inner_maxiter: int = 20000,
+        jit_residual: bool = True,
+        verbose: bool = False,
+    ):
+        """Multi-chip iterative refinement on UNIFORM grids: the inner
+        df CG solves run fully sharded (sharded assembly + sharded
+        matvec/dots), while the 3-6 TRUE-residual evaluations reuse the
+        single-chip class-table machinery (ops/class_matvec.py) on the
+        default device — O(vector) memory (the class operator never
+        materializes the pair), so even the 31.9M-DOF scale fits one
+        chip for this step. Same accuracy contract as
+        mg.solve_df_refined (residual systematic error ~2^-72 |A||x|).
+
+        ``jit_residual=False`` runs the residual eagerly — CPU tests
+        (CPU jit FMA-contracts the EFTs; on the TPU keep it jitted)."""
+        from fem_shell_tpu.ops.class_matvec import (
+            build_class_parts,
+            class_ecorr_f32,
+            class_matvec_df,
+        )
+        from fem_shell_tpu.ops.df import (
+            df_add,
+            df_dot_f64,
+            df_from_f64,
+            df_neg,
+            df_to_f64,
+        )
+        from fem_shell_tpu.ops.exact_stencil import build_exact_stencil
+
+        sys = self.sys
+        grid = self.grid
+        n = grid.nyp * grid.nxp
+        st = build_exact_stencil(sys.mesh, sys.material, sys.offsets)
+        cdf, _ = build_class_parts(st, n)
+
+        free_flat = (
+            np.asarray(sys.free).transpose(1, 0, 2).reshape(6, sys.n_tot)[:, :n]
+        )
+        b64 = np.zeros((6, n))
+        b64[:] = np.asarray(forces).T * free_flat
+
+        def _residual(cdf_, x_, b_):
+            y = class_matvec_df(cdf_, x_)
+            r = df_add(b_, df_neg(y))
+            e = class_ecorr_f32(cdf_, x_.hi)
+            r = df_add(r, DF(-e, jnp.zeros_like(e)))
+            rn = jnp.sqrt(df_dot_f64(r, r))
+            bn = jnp.sqrt(df_dot_f64(b_, b_))
+            return r, rn / bn
+
+        res_fn = jax.jit(_residual) if jit_residual else _residual
+
+        with jax.default_matmul_precision("highest"):
+            b = df_from_f64(jnp.asarray(b64))
+            u = self.solve(forces, rtol=inner_rtol, maxiter=inner_maxiter)
+            total = self.last_iters
+            x = df_from_f64(jnp.asarray(np.asarray(u).T, jnp.float64))
+            hist = []
+            for _ in range(n_refine):
+                r, rn = res_fn(cdf, x, b)
+                rn = float(rn)
+                hist.append(rn)
+                if verbose:
+                    print(f"  refine[sharded]: true residual {rn:.3e} "
+                          f"({total} inner iters)", flush=True)
+                if rn < rtol or not np.isfinite(rn):
+                    break
+                if len(hist) > 1 and rn > 0.7 * hist[-2]:
+                    break  # representation floor (benign, see mg)
+                r_nodes = np.asarray(df_to_f64(r)).T  # [n, 6]
+                d = self.solve(r_nodes, rtol=inner_rtol, maxiter=inner_maxiter)
+                total += self.last_iters
+                x = df_add(x, df_from_f64(jnp.asarray(np.asarray(d).T, jnp.float64)))
+        self.last_iters = total
+        self.last_residual = hist[-1] if hist else float("nan")
+        self.refine_history = hist
+        return np.asarray(df_to_f64(x)).T
+
+    # ------------------------------------------------------------------
     def solve(self, forces, rtol: float = 1e-10, maxiter: int = 20000):
         from jax.sharding import NamedSharding
         from jax.sharding import PartitionSpec as P

@@ -143,6 +143,30 @@ def test_grid_sharded_df_solver_golden_and_invariance():
     assert np.abs(us[1] - u64).max() < 1e-4 * np.abs(u64).max()
 
 
+def test_grid_sharded_refined_solve():
+    """Sharded iterative refinement: distributed inner df CG solves +
+    the single-device class-table TRUE residual. With the residual run
+    eagerly (exact on CPU) the refinement must push the solution well
+    past the CPU-degraded plain-solve floor (~1e-4): final parity vs the
+    f64 oracle at 1e-6."""
+    from fem_shell_tpu.parallel.grid_asm_shard import GridShardedDFShellSystem
+    from fem_shell_tpu.parallel.sharded import make_device_mesh
+    from fem_shell_tpu.system import ShellSystem
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >=2 (virtual) devices")
+    p = MeshGenParams("q", 16, 64, 0, 0, 2.5, 10, (0, 0, 0, 0), 300.0, 2, True, "z")
+    mesh, rows, fac = generate(p)
+    sys = GridShardedDFShellSystem(mesh, MAT, make_device_mesh(2))
+    u = sys.solve_refined(rows * fac, rtol=1e-10, inner_rtol=1e-6,
+                          jit_residual=False)
+    assert len(sys.refine_history) >= 1
+    u64 = np.asarray(ShellSystem(mesh, MAT).solve(rows * fac, rtol=1e-13))
+    scale = np.abs(u64).max()
+    assert np.abs(u - u64).max() < 1e-6 * scale, (
+        np.abs(u - u64).max() / scale, sys.refine_history)
+
+
 def test_multi_device_placement():
     """Jitted path with per-shard device placement on the 8-CPU-device
     test mesh: blocks land on their devices and match the eager oracle at
