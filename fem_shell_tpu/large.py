@@ -425,6 +425,137 @@ class LargeShellSystem:
         return self._solution_out(np.asarray(x64).T[: p.n_nodes])
 
     # ------------------------------------------------------------------
+    # iterative refinement for ARBITRARY meshes (gather or stencil mode):
+    # the emulated-f64 assembly is the accuracy reference, its df
+    # representation error E = A64 - (hi + lo) is stored as one f32 array
+    # (|E| ~ 2^-49 |A|, so f32 keeps it to ~2^-73 |A|), and the TRUE
+    # residual r = b - A_df x - E x drives the outer loop. This removes
+    # the CORRELATED operator-representation error that kappa amplifies
+    # (the 1.4e-2-at-31.9M-DOF failure mode, see ops/exact_stencil.py) on
+    # meshes that have no class structure; the remaining floor is the
+    # matvec's uncorrelated rounding (~2^-47 |A||x|), which kappa does
+    # not coherently amplify.
+    # ------------------------------------------------------------------
+    def _refined_parts_impl(self, coords, tables):
+        """(scaled df operator, f32 E-correction, scaling s) in one
+        jitted program — same symmetric diagonal scaling as
+        _solve_df_impl."""
+        from fem_shell_tpu.ops.df import df_from_f64
+
+        values64 = self._assemble_impl(coords, tables)
+        diag64 = soa_diagonal(values64, adj_t=tables["adj_t"], offsets=self.offsets)
+        s = jnp.where(diag64 > 0, jax.lax.rsqrt(diag64), 1.0)
+        k, npad = values64.shape[1], values64.shape[2]
+        v4 = values64.reshape(6, 6, k, npad)
+        v4 = v4 * s[:, None, None, :]
+        if self.offsets is not None:
+            for si, off in enumerate(self.offsets):
+                col_s = jnp.roll(s, -int(off), axis=1)
+                v4 = v4.at[:, :, si, :].multiply(col_s[None, :, :])
+        else:
+            v4 = v4 * s[:, tables["adj_t"]][None, :, :, :]
+        v = v4.reshape(36, k, npad)
+        values = df_from_f64(v)
+        e32 = (v - values.hi.astype(jnp.float64)
+               - values.lo.astype(jnp.float64)).astype(jnp.float32)
+        return values, e32, s
+
+    def _refined_resid_impl(self, values, e32, tables, x, b):
+        from fem_shell_tpu.ops.df import (
+            DF,
+            df_add,
+            df_dot_f64,
+            df_gather_matvec,
+            df_neg,
+            df_stencil_matvec,
+        )
+
+        if self.offsets is not None:
+            y = df_stencil_matvec(values, x, self.offsets)
+        else:
+            y = df_gather_matvec(values, x, tables["adj_t"])
+        r = df_add(b, df_neg(y))
+        ey = soa_matvec(e32, x.hi, adj_t=tables["adj_t"], offsets=self.offsets)
+        r = df_add(r, DF(-ey, jnp.zeros_like(ey)))
+        rn = jnp.sqrt(df_dot_f64(r, r))
+        bn = jnp.sqrt(df_dot_f64(b, b))
+        return r, rn / bn
+
+    def _refined_inner_impl(self, values, tables, b, rtol, maxiter):
+        from fem_shell_tpu.ops.df import df_gather_matvec, df_stencil_matvec
+        from fem_shell_tpu.solver_df import pcg_df
+
+        if self.offsets is not None:
+            matvec = lambda x: df_stencil_matvec(values, x, self.offsets)  # noqa: E731
+        else:
+            matvec = lambda x: df_gather_matvec(values, x, tables["adj_t"])  # noqa: E731
+        ones = jnp.ones((6, values.hi.shape[-1]), jnp.float32)
+        res = pcg_df(matvec, b, ones, rtol=rtol, maxiter=maxiter)
+        return res.x, res.iters, res.residual
+
+    def solve_df_refined(
+        self,
+        forces,
+        rtol: float = 1e-9,
+        n_refine: int = 6,
+        inner_rtol: float = 1e-5,
+        inner_maxiter: int = 20000,
+        jit_residual: bool = True,
+        verbose: bool = False,
+    ):
+        """df CG + E-corrected iterative refinement on ANY mesh
+        (requires dtype=float64 — the emulated-f64 assembly is the
+        accuracy reference). Same outer contraction/stall logic as
+        mg.solve_df_refined; ``jit_residual=False`` evaluates the
+        residual eagerly (CPU tests — CPU jit FMA-contracts the EFTs)."""
+        from fem_shell_tpu.ops.df import df_add, df_from_f64, df_to_f64
+
+        assert self.dtype == jnp.float64, "solve_df_refined requires dtype=float64"
+        if not hasattr(self, "_refined_parts_jit"):
+            self._refined_parts_jit = jax.jit(self._refined_parts_impl)
+            self._refined_inner_jit = jax.jit(
+                self._refined_inner_impl, static_argnums=(4,)
+            )
+            self._refined_resid_jit = jax.jit(self._refined_resid_impl)
+        res_fn = self._refined_resid_jit if jit_residual else self._refined_resid_impl
+
+        p = self.pattern
+        f = np.zeros((p.n_pad, 6))
+        f[: p.n_nodes] = self._forces_in(forces)
+        f_t = jnp.asarray(f.T, jnp.float64)
+        tables = self._tables
+        with jax.default_matmul_precision("highest"):
+            values, e32, s = self._refined_parts_jit(self.coords, tables)
+            free = (np.asarray(tables["free_t"]) != 0).astype(np.float64)
+            b = df_from_f64(f_t * jnp.asarray(free) * s)
+            x, it0, _ = self._refined_inner_jit(
+                values, tables, b, float(inner_rtol), int(inner_maxiter)
+            )
+            total = int(it0)
+            hist = []
+            for _ in range(n_refine):
+                r, rn = res_fn(values, e32, tables, x, b)
+                rn = float(rn)
+                hist.append(rn)
+                if verbose:
+                    print(f"  refine[E]: true residual {rn:.3e} "
+                          f"({total} inner iters)", flush=True)
+                if rn < rtol or not np.isfinite(rn):
+                    break
+                if len(hist) > 1 and rn > 0.7 * hist[-2]:
+                    break  # floor (benign — see mg.solve_df_refined)
+                d, itk, _ = self._refined_inner_jit(
+                    values, tables, r, float(inner_rtol), int(inner_maxiter)
+                )
+                x = df_add(x, d)
+                total += int(itk)
+            x64 = df_to_f64(x) * s
+        self.last_iters = total
+        self.last_residual = hist[-1] if hist else float("nan")
+        self.refine_history = hist
+        return self._solution_out(np.asarray(x64).T[: p.n_nodes])
+
+    # ------------------------------------------------------------------
     def _forces_in(self, forces) -> np.ndarray:
         forces = np.asarray(forces)
         return forces[self._order] if self._order is not None else forces
