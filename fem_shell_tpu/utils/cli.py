@@ -19,6 +19,9 @@ plus TPU-native extras:
               golden-accurate results)
   --df        double-float solve (two-f32 error-free arithmetic on the
               VPU: f64-class accuracy at ~2x emulated-f64 speed; TPU only)
+  --refined   df solve + iterative refinement against the exact operator
+              (with --precond mg: class tables on uniform grids; else the
+              E-correction variant on any mesh)
   --devices   shard the solve over the first N local devices (SPMD domain
               decomposition; the mpirun -n N analog)
 
@@ -69,6 +72,13 @@ def _parse(argv: List[str]):
     )
     ap.add_argument("--f32", action="store_true")
     ap.add_argument("--df", action="store_true")
+    ap.add_argument(
+        "--refined",
+        action="store_true",
+        help="df solve + iterative refinement against the exact operator "
+        "(class tables on uniform grids via --precond mg, E-correction "
+        "on any mesh otherwise); implies --df",
+    )
     ap.add_argument("--devices", type=int, default=1)
     return ap.parse_args(argv)
 
@@ -127,19 +137,35 @@ def main(argv: Optional[List[str]] = None) -> int:
         if detect_structured_grid(mesh) is None:
             print("ERROR: --precond mg needs a row-major structured grid mesh.")
             return 2
-        mg_dtype = jnp.float32 if (args.f32 or args.df) else jnp.float64
-        system = MultigridShellSystem(mesh, material, dtype=mg_dtype)
-        if args.df:
+        mg_dtype = (
+            jnp.float32 if (args.f32 or args.df or args.refined) else jnp.float64
+        )
+        system = MultigridShellSystem(
+            mesh, material, dtype=mg_dtype, df_operator=args.refined
+        )
+        if args.refined:
+            u = np.asarray(
+                system.solve_df_refined(forces, rtol=args.rtol, maxiter=args.maxiter)
+            )
+            iters, res = system.last_iters, system.last_residual
+        elif args.df:
             u = np.asarray(system.solve_df(forces, rtol=args.rtol, maxiter=args.maxiter))
             iters, res = system.last_iters, system.last_residual
         else:
             u = np.asarray(system.solve(forces, rtol=args.rtol, maxiter=args.maxiter))
             iters, res = int(system.last_cg.iters), float(system.last_cg.residual)
-    elif args.df or args.reorder:
+    elif args.df or args.refined or args.reorder:
         from fem_shell_tpu.large import LargeShellSystem
 
         system = LargeShellSystem(mesh, material, dtype=jnp.float64, reorder=args.reorder)
-        if args.df:
+        if args.refined:
+            u = np.asarray(
+                system.solve_df_refined(
+                    forces, rtol=args.rtol, inner_maxiter=args.maxiter
+                )
+            )
+            iters, res = system.last_iters, system.last_residual
+        elif args.df:
             u = np.asarray(system.solve_df(forces, rtol=args.rtol, maxiter=args.maxiter))
             iters, res = system.last_iters, system.last_residual
         else:
