@@ -288,7 +288,15 @@ class AMGShellSystem:
         strength: float = 0.06,
         cycle: str = "W",
         reorder: Optional[str] = "rcm",
+        df: bool = False,
     ):
+        """``df=True`` builds the hierarchy on the symmetrically
+        diagonal-scaled operator (drilling dofs are 1000x softer — the
+        same equilibration large.py's df solves need to keep compensated
+        summation at the ~1e-12 level) and keeps a two-float32 split of
+        the scaled fine operator for :meth:`solve_df` — the df outer CG
+        preconditioned by this (f32-recommended) AMG cycle. Pass
+        dtype=jnp.float32 with it for the TPU production configuration."""
         from fem_shell_tpu.large import LargeShellSystem
 
         self.mesh = mesh
@@ -330,6 +338,27 @@ class AMGShellSystem:
 
         coords = np.asarray(self.sys.mesh.coords, np.float64)  # post-reorder
         nullspace = _rigid_modes(coords)
+
+        self._s_df = None
+        self._fine_df = None
+        if df:
+            # per-DOF diagonal (self-block) of the BC-applied operator;
+            # constrained rows carry the unit diagonal -> s = 1 there
+            self_mask = lvl0.adj == np.arange(n)[:, None]
+            dblk = (lvl0.blocks * self_mask[:, :, None, None]).sum(1)
+            d = np.einsum("naa->na", dblk).copy()
+            d[d <= 0] = 1.0
+            s = 1.0 / np.sqrt(d)  # [n, 6]
+            lvl0.blocks = lvl0.blocks * s[:, None, :, None] * s[lvl0.adj][:, :, None, :]
+            # nullspace of S A S is S^-1 B
+            nullspace = nullspace / s[:, :, None]
+            self._s_df = s
+            from fem_shell_tpu.ops.df import DF as _DF
+
+            hi = lvl0.blocks.astype(np.float32)
+            lo = (lvl0.blocks - hi.astype(np.float64)).astype(np.float32)
+            self._fine_df = _DF(jnp.asarray(hi), jnp.asarray(lo))
+            self._adj0 = jnp.asarray(lvl0.adj)
 
         self.h_levels: List[_HostLevel] = [lvl0]
         self.transfers = []  # (pcol, pblk, n_coarse)
@@ -429,16 +458,75 @@ class AMGShellSystem:
         return pcg(mv, b, rtol=rtol, maxiter=maxiter, apply_prec=prec)
 
     # ------------------------------------------------------------------
+    # df production path: two-f32 outer CG on the scaled operator,
+    # AMG cycle (in self.dtype, f32 recommended) as the preconditioner
+    # ------------------------------------------------------------------
+    def _mv_df(self, x):
+        from fem_shell_tpu.ops.df import DF, df_add, two_prod
+
+        vals, adj = self._fine_df, self._adj0
+        k = adj.shape[1]
+        xg_h = x.hi[adj]  # [n, K, 6]
+        xg_l = x.lo[adj]
+        acc = DF(jnp.zeros_like(x.hi), jnp.zeros_like(x.lo))
+        for s in range(k):
+            for b in range(6):
+                vh = vals.hi[:, s, :, b]  # [n, 6]
+                vl = vals.lo[:, s, :, b]
+                xh = xg_h[:, s, b][:, None]
+                xl = xg_l[:, s, b][:, None]
+                p, pe = two_prod(vh, xh)
+                pe = pe + (vh * xl + vl * xh)
+                acc = df_add(acc, DF(p, pe))
+        return acc
+
+    def _solve_df_impl(self, b, rtol, maxiter):
+        from fem_shell_tpu.ops.df import DF
+        from fem_shell_tpu.solver_df import pcg_df
+
+        def prec(r):
+            z = self._vcycle(0, r.hi.astype(self.dtype))
+            return DF(z.astype(jnp.float32), jnp.zeros_like(r.lo))
+
+        return pcg_df(self._mv_df, b, rtol=rtol, maxiter=maxiter,
+                      apply_prec=prec)
+
+    def solve_df(self, forces, rtol: float = 1e-10, maxiter: int = 2000):
+        """df (two-float32) solve of the scaled system with the AMG
+        preconditioner — f64-class accuracy with mesh-independent-ish
+        iterations on arbitrary meshes (construct with df=True)."""
+        from fem_shell_tpu.ops.df import df_from_f64, df_to_f64
+
+        if self._fine_df is None:
+            raise ValueError("construct AMGShellSystem with df=True for solve_df")
+        if not hasattr(self, "_solve_df_jit"):
+            self._solve_df_jit = jax.jit(self._solve_df_impl, static_argnums=(2,))
+        n = self.mesh.n_nodes
+        f = self.sys._forces_in(forces)[:n]
+        free = np.asarray(self.sys.free_t.T[:n], bool)
+        b64 = jnp.asarray(f * free * self._s_df, jnp.float64)
+        with jax.default_matmul_precision("highest"):
+            res = self._solve_df_jit(df_from_f64(b64), rtol, maxiter)
+        self.last_iters = int(res.iters)
+        self.last_residual = float(res.residual)
+        x64 = np.asarray(df_to_f64(res.x)) * self._s_df
+        return self.sys._solution_out(x64)
+
+    # ------------------------------------------------------------------
     def solve(self, forces, rtol: float = 1e-10, maxiter: int = 1000):
         f = self.sys._forces_in(forces)  # applies reorder + free mask shape
         n = self.mesh.n_nodes
         b = jnp.asarray(f[:n], self.dtype)
         free = np.asarray(self.sys.free_t.T[:n], bool)
         b = b * jnp.asarray(free, self.dtype)
+        if self._s_df is not None:  # hierarchy is scaled (df=True)
+            b = b * jnp.asarray(self._s_df, self.dtype)
         with jax.default_matmul_precision("highest"):
             res: CGResult = self._solve_jit(b, rtol, maxiter)
         self.last_cg = res
         self.last_iters = int(res.iters)
         self.last_residual = float(res.residual)
         u = np.asarray(res.x)
+        if self._s_df is not None:
+            u = u * self._s_df
         return self.sys._solution_out(u)

@@ -55,6 +55,34 @@ def test_amg_refined_ibeam():
     assert np.abs(u - u_ref).max() < 1e-7 * np.abs(u_ref).max()
 
 
+def test_amg_df_solve_golden():
+    """AMG-df: two-f32 outer CG on the equilibrated operator with the
+    f32 AMG W-cycle preconditioner — the TPU production configuration
+    for unstructured meshes. CPU-jit EFTs are degraded, so the oracle
+    tolerance pins the machinery (1e-4); mesh-independence is pinned by
+    the iteration cap."""
+    from fem_shell_tpu.system import ShellSystem
+
+    p = MeshGenParams("q", 40, 40, 0, 0, 10, 10, (0, 0, 0, 0), 300.0, 2, True, "z")
+    mesh, rows, fac = generate(p)
+    perm = np.random.default_rng(5).permutation(mesh.n_nodes)
+    mesh2 = permute_nodes(mesh, perm)
+    f2 = (rows * fac)[perm]
+    amg = AMGShellSystem(mesh2, MAT, dtype=jnp.float32, df=True)
+    u = amg.solve_df(f2, rtol=1e-9, maxiter=400)
+    assert amg.last_residual < 1e-9
+    assert amg.last_iters < 60, amg.last_iters
+    u_ref = np.asarray(ShellSystem(mesh2, MAT).solve(f2, rtol=1e-12))
+    # 3e-4: CPU-jit df floor (LLVM FMA-contracts the EFTs — measured
+    # 1.2e-4 here); the TPU contract is the eps49 class
+    assert np.abs(u - u_ref).max() < 3e-4 * np.abs(u_ref).max()
+    # solve() must stay correct on a scaled (df=True) hierarchy: the
+    # b/x scaling round-trip (f64 levels so 1e-8 is reachable)
+    amg64 = AMGShellSystem(mesh2, MAT, dtype=jnp.float64, df=True)
+    u2 = amg64.solve(f2, rtol=1e-10)
+    assert np.abs(u2 - u_ref).max() < 1e-8 * np.abs(u_ref).max()
+
+
 @pytest.mark.slow
 def test_amg_million_dof():
     """SURVEY/VERDICT target: >=1M DOF unstructured-path mesh in <100
