@@ -83,6 +83,26 @@ def test_amg_df_solve_golden():
     assert np.abs(u2 - u_ref).max() < 1e-8 * np.abs(u_ref).max()
 
 
+def test_amg_df_refined_golden():
+    """AMG-df + E-corrected refinement: with the residual run eagerly
+    (exact on CPU), the refinement must push well past the CPU df floor
+    — 1e-8 oracle parity on a renumbered mesh."""
+    from fem_shell_tpu.system import ShellSystem
+
+    p = MeshGenParams("q", 40, 40, 0, 0, 10, 10, (0, 0, 0, 0), 300.0, 2, True, "z")
+    mesh, rows, fac = generate(p)
+    perm = np.random.default_rng(7).permutation(mesh.n_nodes)
+    mesh2 = permute_nodes(mesh, perm)
+    f2 = (rows * fac)[perm]
+    amg = AMGShellSystem(mesh2, MAT, dtype=jnp.float32, df=True)
+    u = amg.solve_df_refined(f2, rtol=1e-11, inner_rtol=1e-6,
+                             jit_residual=False)
+    assert len(amg.refine_history) >= 1
+    u_ref = np.asarray(ShellSystem(mesh2, MAT).solve(f2, rtol=1e-13))
+    err = np.abs(u - u_ref).max() / np.abs(u_ref).max()
+    assert err < 1e-8, (err, amg.refine_history)
+
+
 @pytest.mark.slow
 def test_amg_million_dof():
     """SURVEY/VERDICT target: >=1M DOF unstructured-path mesh in <100
