@@ -14,7 +14,8 @@ plus TPU-native extras:
               doc/implementation.tex:69-72)
   --maxiter   CG iteration cap (-ksp_max_it analog)
   --method    pcg | dense
-  --precond   block_jacobi | jacobi
+  --precond   block_jacobi | jacobi | mg (geometric multigrid, structured
+              grids) | amg (smoothed-aggregation AMG, arbitrary meshes)
   --f32       solve in float32 (TPU-native speed; f64 is the default for
               golden-accurate results)
   --df        double-float solve (two-f32 error-free arithmetic on the
@@ -52,10 +53,11 @@ def _parse(argv: List[str]):
     ap.add_argument("--method", choices=("pcg", "dense"), default="pcg")
     ap.add_argument(
         "--precond",
-        choices=("block_jacobi", "jacobi", "mg"),
+        choices=("block_jacobi", "jacobi", "mg", "amg"),
         default="block_jacobi",
         help="mg = geometric multigrid V-cycle (structured grid meshes; "
-        "mesh-independent iteration counts — the best preconditioner here)",
+        "mesh-independent iteration counts — the best preconditioner here); "
+        "amg = smoothed-aggregation algebraic multigrid (arbitrary meshes)",
     )
     ap.add_argument(
         "--reorder",
@@ -88,8 +90,9 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     import jax
 
-    if not args.f32 or args.df:
-        # df needs x64 for its (cheap, O(N)) f64 scalar/boundary stages
+    if not args.f32 or args.df or args.refined or args.precond == "amg":
+        # df/refined need x64 for their (cheap, O(N)) f64 scalar/boundary
+        # stages; the AMG hierarchy is built in f64
         jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
     import numpy as np
@@ -154,6 +157,29 @@ def main(argv: Optional[List[str]] = None) -> int:
         else:
             u = np.asarray(system.solve(forces, rtol=args.rtol, maxiter=args.maxiter))
             iters, res = int(system.last_cg.iters), float(system.last_cg.residual)
+    elif args.precond == "amg":
+        from fem_shell_tpu.amg import AMGShellSystem
+
+        use_df = args.df or args.refined
+        amg_dtype = jnp.float32 if (args.f32 or use_df) else jnp.float64
+        system = AMGShellSystem(
+            mesh, material, dtype=amg_dtype, df=use_df,
+            reorder=args.reorder or "rcm",
+        )
+        if args.refined:
+            # the eager residual path is required on CPU (LLVM's FMA
+            # contraction breaks the error-free transforms there)
+            u = np.asarray(
+                system.solve_df_refined(
+                    forces, rtol=args.rtol, inner_maxiter=args.maxiter,
+                    jit_residual=jax.devices()[0].platform != "cpu",
+                )
+            )
+        elif args.df:
+            u = np.asarray(system.solve_df(forces, rtol=args.rtol, maxiter=args.maxiter))
+        else:
+            u = np.asarray(system.solve(forces, rtol=args.rtol, maxiter=args.maxiter))
+        iters, res = system.last_iters, system.last_residual
     elif args.df or args.refined or args.reorder:
         from fem_shell_tpu.large import LargeShellSystem
 

@@ -64,3 +64,33 @@ def test_legacy_vtk_content(plate, tmp_path):
     assert "DATASET UNSTRUCTURED_GRID" in txt
     assert "VECTORS displacement double" in txt
     assert f"POINTS {mesh.n_nodes} double" in txt
+
+
+def test_cli_amg_precond(plate, capsys):
+    """--precond amg drives AMGShellSystem on an arbitrary mesh through
+    the reference-compatible driver (unstructured production path)."""
+    rc = cli_main(
+        ["-nu", "0.3", "-e", "1e7", "-t", "0.5", "-mesh", plate + ".xda",
+         "--precond", "amg", "-out", plate]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "All done :)" in out
+    txt = open(plate + ".vtu").read()
+    m = re.search(r'Name="displacement"[^>]*>\n(.*?)</DataArray>', txt, re.S)
+    vals = np.array([[float(v) for v in l.split()] for l in m.group(1).strip().split("\n")])
+    assert abs(np.abs(vals[:, 2]).max() - 0.106405) < 1e-4
+
+
+def test_cli_amg_refined(plate, capsys):
+    """--precond amg --refined: AMG-df + E-corrected refinement through
+    the CLI (f64-class accuracy on any mesh)."""
+    rc = cli_main(
+        ["-nu", "0.3", "-e", "1e7", "-t", "0.5", "-mesh", plate + ".xda",
+         "--precond", "amg", "--refined", "-out", plate]
+    )
+    assert rc == 0
+    txt = open(plate + ".vtu").read()
+    m = re.search(r'Name="displacement"[^>]*>\n(.*?)</DataArray>', txt, re.S)
+    vals = np.array([[float(v) for v in l.split()] for l in m.group(1).strip().split("\n")])
+    assert abs(np.abs(vals[:, 2]).max() - 0.106405) < 1e-4
