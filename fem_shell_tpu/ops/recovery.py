@@ -25,6 +25,7 @@ fields are consistent with the assembled operator.
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import Optional
 
 import jax
@@ -198,6 +199,211 @@ def recover_stresses(mesh, material: Material, u, dtype=jnp.float64) -> StressFi
         moments=np.asarray(moments),
         vm_top=np.asarray(vm_top),
         vm_bot=np.asarray(vm_bot),
+    )
+
+
+# ----------------------------------------------------------------------
+# Gauss-point recovery + extrapolated nodal fields
+# ----------------------------------------------------------------------
+# The assembly quadrature points (ops/elements.py: _TRI_QPS interior
+# points for Specht, 2x2 Gauss for DKQ/membrane) are the element's
+# optimal sampling points; nodal fields are recovered by evaluating
+# stress there and extrapolating the qp values to the element corners
+# with the inverse of the (bi)linear map qp -> corners, then averaging
+# contributions across elements sharing each node (the classical
+# Hinton-Campbell local projection; the reference validation study
+# performed the same projection offline, doc/validation.tex).
+
+_TRI_QPS_R = np.array([[1 / 6, 1 / 6], [2 / 3, 1 / 6], [1 / 6, 2 / 3]])
+# corners in (l1, l2): node1 = (1,0), node2 = (0,1), node3 = (0,0)
+_TRI_CORNERS_R = np.array([[1.0, 0.0], [0.0, 1.0], [0.0, 0.0]])
+# linear extrapolation: value(l) = [1, l1, l2] @ coeff, coeff from qps
+_TRI_EXTRAP = np.hstack([np.ones((3, 1)), _TRI_CORNERS_R]) @ np.linalg.inv(
+    np.hstack([np.ones((3, 1)), _TRI_QPS_R])
+)
+
+# quad corners (r,s) in connectivity order (see _quad_shape_derivs):
+# node1 (-1,-1), node2 (1,-1), node3 (1,1), node4 (-1,1); Gauss points
+# at signs _QUAD_QPS = ((+,+),(+,-),(-,+),(-,-)) scaled by 1/sqrt(3).
+_QUAD_CORNER_SIGNS = np.array([[-1, -1], [1, -1], [1, 1], [-1, 1]], np.float64)
+_QUAD_QP_SIGNS = np.array([[1, 1], [1, -1], [-1, 1], [-1, -1]], np.float64)
+_QUAD_EXTRAP = 0.25 * (
+    (1.0 + math.sqrt(3.0) * np.outer(_QUAD_CORNER_SIGNS[:, 0], _QUAD_QP_SIGNS[:, 0]))
+    * (1.0 + math.sqrt(3.0) * np.outer(_QUAD_CORNER_SIGNS[:, 1], _QUAD_QP_SIGNS[:, 1]))
+)
+
+
+def _tri_recover_qp(xyz, u_elem, dm, dp, thickness):
+    """Per-quadrature-point recovery for one Specht/CST triangle.
+
+    Returns (sigma_m [3,3], moments [3,3]) at the three interior
+    quadrature points (CST membrane strain is constant; it is replicated
+    per qp so tri/quad downstream handling is uniform)."""
+    trafo, dphi, area = _tri_frame(xyz)
+    mem, plate = _local_dofs(trafo, u_elem)
+
+    x12, y12 = dphi[0, 0], dphi[0, 1]
+    x31, y31 = dphi[1, 0], dphi[1, 1]
+    x23, y23 = dphi[2, 0], dphi[2, 1]
+    z = jnp.zeros((), dphi.dtype)
+    b_m = jnp.array(
+        [
+            [y23, z, y31, z, y12, z],
+            [z, -x23, z, -x31, z, -x12],
+            [-x23, y23, -x31, y31, -x12, y12],
+        ]
+    ) / (2.0 * area)
+    sigma_m = jnp.broadcast_to(dm @ (b_m @ mem), (3, 3))
+
+    side_sq = jnp.array(
+        [x12**2 + y12**2, x31**2 + y31**2, x23**2 + y23**2]
+    )
+    y_mat = jnp.array(
+        [
+            [dphi[2, 1] ** 2, dphi[1, 1] ** 2, dphi[2, 1] * dphi[1, 1]],
+            [dphi[2, 0] ** 2, dphi[1, 0] ** 2, dphi[1, 0] * dphi[2, 0]],
+            [
+                -2.0 * dphi[2, 0] * dphi[2, 1],
+                -2.0 * dphi[1, 0] * dphi[1, 0],  # Y[2,1] quirk, fem-shell.cpp:586
+                -dphi[2, 0] * dphi[1, 1] - dphi[1, 0] * dphi[2, 1],
+            ],
+        ]
+    ) / (4.0 * area**2)
+
+    def one_qp(lq):
+        kappa = (y_mat @ _eval_b_tri(side_sq, lq[0], lq[1], dphi)) @ plate
+        return dp @ kappa
+
+    moments = jax.vmap(one_qp)(jnp.asarray(_TRI_QPS_R, dphi.dtype))
+    return sigma_m, moments
+
+
+def _quad_recover_qp(xyz, u_elem, dm, dp, thickness):
+    """Per-Gauss-point recovery for one DKQ/bilinear quad.
+
+    Returns (sigma_m [4,3], moments [4,3]) at the 2x2 Gauss points in
+    _QUAD_QPS order."""
+    from fem_shell_tpu.ops.elements import _GAUSS_ROOT, _QUAD_QPS
+
+    trafo, local_xy, dphi = _quad_frame(xyz)
+    mem, plate = _local_dofs(trafo, u_elem)
+    lx, ly = local_xy[0], local_xy[1]
+
+    side_sq = jnp.sum(dphi**2, axis=1)
+    h = jnp.stack(
+        [
+            -dphi[:, 0] / side_sq,
+            0.75 * dphi[:, 0] * dphi[:, 1] / side_sq,
+            (0.25 * dphi[:, 0] ** 2 - 0.5 * dphi[:, 1] ** 2) / side_sq,
+            -dphi[:, 1] / side_sq,
+            (0.25 * dphi[:, 1] ** 2 - 0.5 * dphi[:, 0] ** 2) / side_sq,
+        ]
+    )
+
+    def one_qp(rs):
+        r = rs[0] * _GAUSS_ROOT
+        s = rs[1] * _GAUSS_ROOT
+        # membrane: bilinear isoparametric B at (r, s)
+        dhdr, dhds = _quad_shape_derivs(r, s)
+        j00 = jnp.dot(dhdr, lx)
+        j01 = jnp.dot(dhdr, ly)
+        j10 = jnp.dot(dhds, lx)
+        j11 = jnp.dot(dhds, ly)
+        det = j00 * j11 - j01 * j10
+        zero = jnp.zeros((), det.dtype)
+        b3x4 = jnp.array(
+            [
+                [j11, -j01, zero, zero],
+                [zero, zero, -j10, j00],
+                [-j10, j00, j11, -j01],
+            ]
+        ) / det
+        g = jnp.zeros((4, 8), dhdr.dtype)
+        g = g.at[0, 0::2].set(dhdr)
+        g = g.at[1, 0::2].set(dhds)
+        g = g.at[2, 1::2].set(dhdr)
+        g = g.at[3, 1::2].set(dhds)
+        sig = dm @ ((b3x4 @ g) @ mem)
+        # plate: DKQ Jacobian at (r, s) (same expressions as _quad_plate)
+        pj00 = 0.25 * ((dphi[0, 0] + dphi[2, 0]) * s - dphi[0, 0] + dphi[2, 0])
+        pj01 = 0.25 * ((dphi[0, 1] + dphi[2, 1]) * s - dphi[0, 1] + dphi[2, 1])
+        pj10 = 0.25 * ((dphi[0, 0] + dphi[2, 0]) * r - dphi[1, 0] + dphi[3, 0])
+        pj11 = 0.25 * ((dphi[0, 1] + dphi[2, 1]) * r - dphi[1, 1] + dphi[3, 1])
+        pdet = pj00 * pj11 - pj01 * pj10
+        jinv = jnp.array([[pj11, -pj01], [-pj10, pj00]]) / pdet
+        kappa = _eval_b_quad(h, r, s, jinv) @ plate
+        return sig, dp @ kappa
+
+    qps = jnp.asarray(np.array(_QUAD_QPS), dphi.dtype)
+    sigma_m, moments = jax.vmap(one_qp)(qps)
+    return sigma_m, moments
+
+
+@dataclasses.dataclass
+class NodalStressField:
+    """Extrapolated nodal recovery (local element frames averaged per
+    node — exact for coplanar meshes, the usual caveat for folded
+    shells).
+
+    sigma_m [N,3]  membrane stress, moments [N,3] bending moments,
+    vm_top/vm_bot/vm [N]  surface von Mises from the nodal components.
+    """
+
+    sigma_m: np.ndarray
+    moments: np.ndarray
+    vm_top: np.ndarray
+    vm_bot: np.ndarray
+
+    @property
+    def vm(self) -> np.ndarray:
+        return np.maximum(self.vm_top, self.vm_bot)
+
+
+def recover_stresses_nodal(mesh, material: Material, u, dtype=jnp.float64):
+    """Gauss-point stress recovery extrapolated to nodes.
+
+    Evaluates membrane stress and bending moments at each element's
+    assembly quadrature points, extrapolates them to the element's
+    corner nodes ((bi)linear inverse map), and averages over all
+    elements sharing the node. Superconvergent-sampling projection: one
+    order more accurate at nodes than evaluating the element fields
+    there directly."""
+    dm, dp = material.matrices()
+    dm = jnp.asarray(dm, dtype)
+    dp = jnp.asarray(dp, dtype)
+    coords = jnp.asarray(mesh.coords, dtype)
+    u = jnp.asarray(u, dtype)
+    t = material.thickness
+
+    acc = np.zeros((mesh.n_nodes, 6), np.float64)  # sigma(3) + moments(3)
+    cnt = np.zeros(mesh.n_nodes, np.float64)
+    for conn, fn, extrap in (
+        (mesh.tri, _tri_recover_qp, _TRI_EXTRAP),
+        (mesh.quad, _quad_recover_qp, _QUAD_EXTRAP),
+    ):
+        if len(conn) == 0:
+            continue
+        c = jnp.asarray(conn)
+
+        def one(e, fn=fn, c=c):
+            return fn(coords[c[e]], u[c[e]], dm, dp, t)
+
+        sig_qp, mom_qp = jax.vmap(one)(jnp.arange(len(conn)))  # [E,Q,3]
+        ex = jnp.asarray(extrap, dtype)
+        sig_n = jnp.einsum("cq,eqk->eck", ex, sig_qp)  # [E,corners,3]
+        mom_n = jnp.einsum("cq,eqk->eck", ex, mom_qp)
+        vals = np.asarray(jnp.concatenate([sig_n, mom_n], axis=-1), np.float64)
+        idx = np.asarray(conn).ravel()
+        np.add.at(acc, idx, vals.reshape(-1, 6))
+        np.add.at(cnt, idx, 1.0)
+
+    acc /= np.maximum(cnt, 1.0)[:, None]
+    sigma_m, moments = acc[:, :3], acc[:, 3:]
+    sigma_b = 6.0 * moments / (t * t)
+    vm_top = np.asarray(_von_mises(jnp.asarray(sigma_m + sigma_b)))
+    vm_bot = np.asarray(_von_mises(jnp.asarray(sigma_m - sigma_b)))
+    return NodalStressField(
+        sigma_m=sigma_m, moments=moments, vm_top=vm_top, vm_bot=vm_bot
     )
 
 

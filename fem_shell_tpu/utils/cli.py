@@ -239,17 +239,21 @@ def main(argv: Optional[List[str]] = None) -> int:
         cell_data = {}
         if args.stress:
             from fem_shell_tpu.ops.recovery import (
-                nodal_average,
                 recover_stresses,
+                recover_stresses_nodal,
                 to_mesh_order,
             )
 
             field = recover_stresses(mesh, material, u)
-            point_data["von_mises"] = nodal_average(mesh, field.vm)
+            nodal = recover_stresses_nodal(mesh, material, u)
+            point_data["von_mises"] = nodal.vm
+            point_data["moments"] = nodal.moments
+            point_data["sigma_membrane"] = nodal.sigma_m
             cell_data["von_mises"] = to_mesh_order(mesh, field.vm)
             cell_data["moments"] = to_mesh_order(mesh, field.moments)
             cell_data["sigma_membrane"] = to_mesh_order(mesh, field.sigma_m)
-            print(f"Stress recovery: peak von Mises {field.vm.max():.6g}")
+            print(f"Stress recovery: peak von Mises {nodal.vm.max():.6g} "
+                  f"(nodal), {field.vm.max():.6g} (element centers)")
         write_vtu(
             mesh,
             args.out + ".vtu",

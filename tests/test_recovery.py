@@ -91,6 +91,52 @@ def test_nodal_average_shapes():
     assert np.isfinite(nv).all() and nv.max() > 0
 
 
+@pytest.mark.parametrize("et", ["q", "t"])
+def test_membrane_patch_nodal(et):
+    """Constant-stress patch: Gauss-point extrapolation + nodal averaging
+    must reproduce the constant exactly (frame-invariant check)."""
+    from fem_shell_tpu.ops.recovery import recover_stresses_nodal
+
+    mesh, _ = _plate_mesh(et, 4)
+    e0 = 1e-4
+    c = np.asarray(mesh.coords)
+    u = np.zeros((mesh.n_nodes, 6))
+    u[:, 0] = e0 * c[:, 0]
+    u[:, 1] = -NU * e0 * c[:, 1]
+    f = recover_stresses_nodal(mesh, MAT, u)
+    sx, sy, txy = f.sigma_m[:, 0], f.sigma_m[:, 1], f.sigma_m[:, 2]
+    mid = 0.5 * (sx + sy)
+    rad = np.sqrt((0.5 * (sx - sy)) ** 2 + txy**2)
+    assert np.abs(mid + rad - E0 * e0).max() < 1e-6 * E0 * e0
+    assert np.abs(mid - rad).max() < 1e-6 * E0 * e0
+    assert np.abs(f.moments).max() < 1e-6 * E0 * e0
+    assert np.abs(f.vm - E0 * e0).max() < 1e-5 * E0 * e0
+
+
+@pytest.mark.parametrize("et,tol", [("q", 0.02), ("t", 0.05)])
+def test_nodal_moment_center_vs_kirchhoff(et, tol):
+    """SS square plate under uniform q: the EXTRAPOLATED NODAL moment at
+    the center node must hit Mmax = 0.0479 q a^2 (Timoshenko Table 8).
+    At the center Mx = My and Mxy = 0, so the check is invariant to the
+    per-element local frames the averaging mixes."""
+    from fem_shell_tpu.ops.recovery import recover_stresses_nodal
+    from fem_shell_tpu.system import ShellSystem
+
+    mesh, forces = _plate_mesh(et, 16)
+    u = ShellSystem(mesh, MAT).solve(forces)
+    f = recover_stresses_nodal(mesh, MAT, u)
+    center = mesh.n_nodes // 2
+    m_exact = 0.0479 * 300.0 * 10.0**2
+    assert abs(abs(f.moments[center, 0]) - m_exact) < tol * m_exact
+    assert abs(abs(f.moments[center, 1]) - m_exact) < tol * m_exact
+    # center vm = 6 Mmax / t^2 (Mx = My, Mxy = 0 there); the GLOBAL vm
+    # max sits at the CORNERS (twisting moment Mxy = 0.0325 q a^2)
+    vm_center = 6.0 * m_exact / MAT.thickness**2
+    assert abs(f.vm[center] - vm_center) < tol * vm_center
+    vm_corner = np.sqrt(3.0) * 6.0 * 0.0325 * 300.0 * 10.0**2 / MAT.thickness**2
+    assert abs(f.vm.max() - vm_corner) < 0.06 * vm_corner
+
+
 def test_cli_stress_output(tmp_path, capsys):
     from fem_shell_tpu.meshgen import MeshGenParams, write_files
     from fem_shell_tpu.utils import cli
