@@ -551,7 +551,12 @@ class AMGShellSystem:
             raise ValueError("construct AMGShellSystem with df=True")
         if not hasattr(self, "_solve_df_jit"):
             self._solve_df_jit = jax.jit(self._solve_df_impl, static_argnums=(2,))
-        res_fn = jax.jit(self._resid_df_impl) if jit_residual else self._resid_df_impl
+        if jit_residual:
+            if not hasattr(self, "_resid_df_jit"):
+                self._resid_df_jit = jax.jit(self._resid_df_impl)
+            res_fn = self._resid_df_jit
+        else:
+            res_fn = self._resid_df_impl
 
         n = self.mesh.n_nodes
         f = self.sys._forces_in(forces)[:n]

@@ -557,10 +557,17 @@ class MultigridShellSystem:
         the quad stencil (lambda_max ~ 1.9) but the tri stencil has
         lambda_max ~ 2.6 and loses mesh-independence (even diverges at
         0.9). ``omega=<float>`` in the constructor overrides."""
+        # ONE cached jit wrapper for all levels and all reassemble()
+        # calls: a fresh jax.jit(...) per call re-traces AND re-compiles
+        # (the remote axon AOT bypasses the persistent compile cache —
+        # measured ~45 s/level at 2304^2, the bulk of the 376 s warm
+        # rebuild in SCALE_RUN_r02.log)
+        if not hasattr(self, "_power_jit"):
+            self._power_jit = jax.jit(self._power_lambda)
         if self.omega is not None:
-            lam = jax.jit(self._power_lambda)(lvl) if self.smoother == "chebyshev" else None
+            lam = self._power_jit(lvl) if self.smoother == "chebyshev" else None
             return jnp.asarray(self.omega, lvl.inv_diag.dtype), lam
-        lam = jax.jit(self._power_lambda)(lvl)
+        lam = self._power_jit(lvl)
         # clip both ends: degenerate lam (all-constrained level) must not
         # produce a huge or NaN omega — any finite value is harmless there
         return jnp.clip(4.0 / (3.0 * lam), 0.2, 1.0).astype(lvl.inv_diag.dtype), lam
@@ -880,13 +887,20 @@ class MultigridShellSystem:
         self._fine = self.levels[0]
         self._fine_df = None
         del fine
+        # cached wrappers: fresh jax.jit per call would re-compile on
+        # every reassemble()+solve cycle (remote compiles are minutes)
+        if not hasattr(self, "_class_pair_jits"):
+            self._class_pair_jits = {
+                "tiled": jax.jit(class_pair_tiled, static_argnums=(3, 4)),
+                "flat": jax.jit(class_pair_flat, static_argnums=(3,)),
+            }
         if tiled:
-            hi, lo = jax.jit(class_pair_tiled, static_argnums=(3, 4))(
+            hi, lo = self._class_pair_jits["tiled"](
                 self._tabs["tfl0"], self._tabs["tfl1"], self._tabs["cls"],
                 npad, r_tile,
             )
         else:
-            hi, lo = jax.jit(class_pair_flat, static_argnums=(3,))(
+            hi, lo = self._class_pair_jits["flat"](
                 self._tabs["tfl0"], self._tabs["tfl1"], self._tabs["cls"], npad
             )
         self._fine_df = DF(hi, lo)

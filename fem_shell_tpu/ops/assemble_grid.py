@@ -302,6 +302,35 @@ def _make_grid_step(
     return fn
 
 
+_INIT_CACHE = {}
+
+
+def _init_pair_fn(npad: int, k: int, offsets, tiled: bool, jit: bool = True):
+    """Memoized jitted pair-initializer (zeros + constrained unit
+    diagonal): fresh jax.jit wrappers per assemble call would re-compile
+    per level per reassemble on the remote platform (its AOT compiles
+    bypass the persistent cache)."""
+    offsets = tuple(int(o) for o in offsets)
+    key = (npad, k, offsets, tiled, jit)
+    fn = _INIT_CACHE.get(key)
+    if fn is not None:
+        return fn
+    if tiled:
+        def _init(f32):
+            h = jnp.zeros((npad // _TILE, 36 * k, 8, 128), jnp.float32)
+            return add_unit_diagonal_df_tiled(h, f32, offsets, k)
+    else:
+        def _init(f32):
+            from fem_shell_tpu.ops.soa import add_unit_diagonal_df
+
+            h = jnp.zeros((36 * k, npad), jnp.float32)
+            return add_unit_diagonal_df(h, f32, offsets, k)
+
+    fn = jax.jit(_init) if jit else _init
+    _INIT_CACHE[key] = fn
+    return fn
+
+
 def add_unit_diagonal_df_tiled(hi_t, free32, offsets, k):
     """Tiled-layout variant of soa.add_unit_diagonal_df: set constrained
     DOFs' diagonal to 1 in hi [ntiles, 36K, 8, 128] (donated)."""
@@ -362,18 +391,8 @@ def assemble_grid_df(
 
     # carry INIT already holds the constrained unit diagonal (see
     # _finish): one small jitted constructor, no donated post-pass
-    if tiled:
-        def _init(f32):
-            h = jnp.zeros((npad // _TILE, 36 * k, 8, 128), jnp.float32)
-            return add_unit_diagonal_df_tiled(h, f32, tuple(offsets), k)
-    else:
-        def _init(f32):
-            from fem_shell_tpu.ops.soa import add_unit_diagonal_df
-
-            h = jnp.zeros((36 * k, npad), jnp.float32)
-            return add_unit_diagonal_df(h, f32, tuple(offsets), k)
-
-    hi = _init(free32) if eager else jax.jit(_init)(free32)
+    init = _init_pair_fn(npad, k, offsets, tiled, jit=not eager)
+    hi = init(free32)
     lo = jnp.zeros_like(hi)
     ch_j, cl_j = jnp.asarray(ch), jnp.asarray(cl)
     fp_j = jnp.asarray(free_pad)

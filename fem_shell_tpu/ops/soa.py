@@ -462,10 +462,23 @@ def assemble_soa_df(
                 jnp.asarray(plan.weight[b]),
                 jnp.asarray(plan.starts[b]),
             )
-    hi = jax.jit(add_unit_diagonal_df, static_argnums=(2, 3), donate_argnums=0)(
-        hi, free_t32.astype(jnp.float32), tuple(offsets), k
-    )
+    hi = _add_diag_jit()(hi, free_t32.astype(jnp.float32), tuple(offsets), k)
     return hi, lo
+
+
+_ADD_DIAG_JIT = None
+
+
+def _add_diag_jit():
+    """One cached wrapper: a fresh jax.jit per assemble call re-compiles
+    every time (the remote axon platform bypasses the persistent compile
+    cache — fresh wrappers cost minutes per warm reassemble)."""
+    global _ADD_DIAG_JIT
+    if _ADD_DIAG_JIT is None:
+        _ADD_DIAG_JIT = jax.jit(
+            add_unit_diagonal_df, static_argnums=(2, 3), donate_argnums=0
+        )
+    return _ADD_DIAG_JIT
 
 
 def _col_values(x, adj_t, offsets, k):

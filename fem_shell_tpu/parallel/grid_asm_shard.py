@@ -35,10 +35,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from fem_shell_tpu.ops.assemble_grid import _make_grid_step
+from fem_shell_tpu.ops.assemble_grid import _init_pair_fn, _make_grid_step
 from fem_shell_tpu.ops.df import DF
 from fem_shell_tpu.ops.dfk import two_sum
-from fem_shell_tpu.ops.soa import add_unit_diagonal_df
 from fem_shell_tpu.parallel.stencil_shard import AXIS as _DF_AXIS
 
 
@@ -135,12 +134,8 @@ def assemble_grid_df_rowblocks(
         free_l = np.ones((6, npad_l), np.float32)
         free_l[:, : n_owned * nxp] = free_grid[:, ns : ns + n_owned].reshape(6, -1)
 
-        def _init(f32):
-            h = jnp.zeros((36 * k, npad_l), jnp.float32)
-            return add_unit_diagonal_df(h, f32, offsets, k)
-
         f32_l = put(free_l, s)
-        hi = _init(f32_l) if eager else jax.jit(_init)(f32_l)
+        hi = _init_pair_fn(npad_l, k, offsets, tiled=False, jit=not eager)(f32_l)
         lo = jnp.zeros_like(hi)
 
         ch_l = put(ch_all[:, ns : ns + e_rows + 1], s)
@@ -394,7 +389,14 @@ class GridShardedDFShellSystem:
             bn = jnp.sqrt(df_dot_f64(b_, b_))
             return r, rn / bn
 
-        res_fn = jax.jit(_residual) if jit_residual else _residual
+        # cache the jitted residual across solve_refined calls (fresh
+        # jax.jit wrappers re-compile on the remote platform)
+        if jit_residual:
+            if not hasattr(self, "_resid_jit"):
+                self._resid_jit = jax.jit(_residual)
+            res_fn = self._resid_jit
+        else:
+            res_fn = _residual
 
         with jax.default_matmul_precision("highest"):
             b = df_from_f64(jnp.asarray(b64))
