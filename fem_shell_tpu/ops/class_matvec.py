@@ -88,6 +88,11 @@ class ClassParts:
     nyp: int
     nxp: int
     npad: int
+    # static (a, b, s) triples with a nonzero interior scalar in ANY of
+    # ih/il/i2 — the Pallas interior kernel skips the rest at trace time
+    # (flat shells: membrane/plate/drilling blocks decouple, ~2.5x fewer
+    # terms). None = built by an older caller; Pallas path disabled.
+    nzmask: Optional[Tuple[Tuple[int, int, int], ...]] = None
 
     def tree_flatten(self):
         return (
@@ -98,7 +103,7 @@ class ClassParts:
                 self.bl_h, self.bl_l, self.bl_e,
                 self.br_h, self.br_l, self.br_e,
             ),
-            (self.offs2d, self.nyp, self.nxp, self.npad),
+            (self.offs2d, self.nyp, self.nxp, self.npad, self.nzmask),
         )
 
     @classmethod
@@ -150,10 +155,18 @@ def build_class_parts(st: ExactStencil, npad: int):
     diag = np.zeros((6, npad), np.float32)
     diag[:, : nyp * nxp] = diag_ld.reshape(6, -1).astype(np.float32)
 
+    ih_np = np.asarray(st.t0[:, :, :, 2, 2], np.float32)
+    il_np = np.asarray(st.t1[:, :, :, 2, 2], np.float32)
+    i2_np = np.asarray(st.t2[:, :, :, 2, 2], np.float32)
+    nz = (ih_np != 0) | (il_np != 0) | (i2_np != 0)  # [K, 6, 6]
+    nzmask = tuple(
+        sorted((int(a), int(b), int(s)) for s, a, b in zip(*np.nonzero(nz)))
+    )
+
     parts = ClassParts(
-        ih=jnp.asarray(st.t0[:, :, :, 2, 2]),
-        il=jnp.asarray(st.t1[:, :, :, 2, 2]),
-        i2=jnp.asarray(st.t2[:, :, :, 2, 2]),
+        ih=jnp.asarray(ih_np),
+        il=jnp.asarray(il_np),
+        i2=jnp.asarray(i2_np),
         bt_h=jnp.asarray(bt[0]), bt_l=jnp.asarray(bt[1]), bt_e=jnp.asarray(bt[2]),
         bb_h=jnp.asarray(bb[0]), bb_l=jnp.asarray(bb[1]), bb_e=jnp.asarray(bb[2]),
         bl_h=jnp.asarray(bl[0]), bl_l=jnp.asarray(bl[1]), bl_e=jnp.asarray(bl[2]),
@@ -162,6 +175,7 @@ def build_class_parts(st: ExactStencil, npad: int):
         nyp=nyp,
         nxp=nxp,
         npad=npad,
+        nzmask=nzmask,
     )
     return parts, jnp.asarray(diag)
 
@@ -210,8 +224,25 @@ def _fold_band(acc_hi, accb, r0: int, kind: str):
     return acc_hi.at[sl].add(accb.transpose(0, 2, 1))
 
 
-def class_matvec_df(cp: ClassParts, x: DF) -> DF:
-    """y = A_df x, A_df = class-table (t0 + t1), x/y flat df [6, npad]."""
+def _pallas_default(cp: ClassParts, use_pallas) -> bool:
+    """Pallas interior kernel: real accelerator only (CPU Pallas is
+    interpret-only) and only for parts built with a nonzero mask."""
+    if cp.nzmask is None:
+        return False
+    if use_pallas is None:
+        return jax.default_backend() != "cpu"
+    return bool(use_pallas)
+
+
+def class_matvec_df(
+    cp: ClassParts, x: DF, use_pallas=None, interpret: bool = False
+) -> DF:
+    """y = A_df x, A_df = class-table (t0 + t1), x/y flat df [6, npad].
+
+    Interior term: Pallas scalar-stencil kernel on accelerators
+    (ops/pallas_class.py — one streaming pass over x; the XLA EFT chain
+    materializes ~K*6 full-grid intermediates), XLA elsewhere. Band
+    deltas are O(boundary) and stay in XLA either way."""
     nyp, nxp, npad = cp.nyp, cp.nxp, cp.npad
     n = nyp * nxp
     xgh = x.hi[:, :n].reshape(6, nyp, nxp)
@@ -219,15 +250,23 @@ def class_matvec_df(cp: ClassParts, x: DF) -> DF:
     xph = jnp.pad(xgh, ((0, 0), (1, 1), (1, 1)), mode="wrap")
     xpl = jnp.pad(xgl, ((0, 0), (1, 1), (1, 1)), mode="wrap")
 
-    z = jnp.zeros((6, nyp, nxp), jnp.float32)
-    acc = DF(z, z)
-    for s, (dy, dx) in enumerate(cp.offs2d):
-        xsh = lax.slice(xph, (0, 1 + dy, 1 + dx), (6, 1 + dy + nyp, 1 + dx + nxp))
-        xsl = lax.slice(xpl, (0, 1 + dy, 1 + dx), (6, 1 + dy + nyp, 1 + dx + nxp))
-        for b in range(6):
-            ch = cp.ih[s, :, b][:, None, None]
-            cl = cp.il[s, :, b][:, None, None]
-            acc = _acc_df(acc, ch, cl, xsh[b][None], xsl[b][None])
+    if _pallas_default(cp, use_pallas):
+        from fem_shell_tpu.ops.pallas_class import class_interior_pallas
+
+        yh, yl = class_interior_pallas(
+            cp.ih, cp.il, xph, xpl, cp.offs2d, cp.nzmask, interpret=interpret
+        )
+        acc = DF(yh[:, 1:-1, 1:-1], yl[:, 1:-1, 1:-1])
+    else:
+        z = jnp.zeros((6, nyp, nxp), jnp.float32)
+        acc = DF(z, z)
+        for s, (dy, dx) in enumerate(cp.offs2d):
+            xsh = lax.slice(xph, (0, 1 + dy, 1 + dx), (6, 1 + dy + nyp, 1 + dx + nxp))
+            xsl = lax.slice(xpl, (0, 1 + dy, 1 + dx), (6, 1 + dy + nyp, 1 + dx + nxp))
+            for b in range(6):
+                ch = cp.ih[s, :, b][:, None, None]
+                cl = cp.il[s, :, b][:, None, None]
+                acc = _acc_df(acc, ch, cl, xsh[b][None], xsl[b][None])
 
     hi_tabs = _band_tables(cp, 0)
     lo_tabs = _band_tables(cp, 1)
@@ -252,7 +291,7 @@ def class_matvec_df(cp: ClassParts, x: DF) -> DF:
     return DF(jnp.pad(acc.hi.reshape(6, n), pad), jnp.pad(acc.lo.reshape(6, n), pad))
 
 
-def _matvec_f32_sel(cp: ClassParts, xf, sel: int):
+def _matvec_f32_sel(cp: ClassParts, xf, sel: int, use_pallas=None, interpret=False):
     """Shared single-table core: sel=0 -> hi operator (t0, smoother /
     power iteration), sel=2 -> E-term (t2-class correction)."""
     nyp, nxp, npad = cp.nyp, cp.nxp, cp.npad
@@ -261,11 +300,19 @@ def _matvec_f32_sel(cp: ClassParts, xf, sel: int):
     xp = jnp.pad(xg, ((0, 0), (1, 1), (1, 1)), mode="wrap")
     itab = (cp.ih, cp.il, cp.i2)[sel]
 
-    y = jnp.zeros((6, nyp, nxp), jnp.float32)
-    for s, (dy, dx) in enumerate(cp.offs2d):
-        xs = lax.slice(xp, (0, 1 + dy, 1 + dx), (6, 1 + dy + nyp, 1 + dx + nxp))
-        for b in range(6):
-            y = y + itab[s, :, b][:, None, None] * xs[b][None]
+    if _pallas_default(cp, use_pallas):
+        from fem_shell_tpu.ops.pallas_class import class_interior_pallas
+
+        yp, _ = class_interior_pallas(
+            itab, None, xp, None, cp.offs2d, cp.nzmask, interpret=interpret
+        )
+        y = yp[:, 1:-1, 1:-1]
+    else:
+        y = jnp.zeros((6, nyp, nxp), jnp.float32)
+        for s, (dy, dx) in enumerate(cp.offs2d):
+            xs = lax.slice(xp, (0, 1 + dy, 1 + dx), (6, 1 + dy + nyp, 1 + dx + nxp))
+            for b in range(6):
+                y = y + itab[s, :, b][:, None, None] * xs[b][None]
 
     for bh, r0, kind in _band_tables(cp, sel):
         ln = nxp if kind == "row" else nyp
@@ -279,16 +326,16 @@ def _matvec_f32_sel(cp: ClassParts, xf, sel: int):
     return jnp.pad(y.reshape(6, n), ((0, 0), (0, npad - n)))
 
 
-def class_matvec_f32(cp: ClassParts, xf):
+def class_matvec_f32(cp: ClassParts, xf, use_pallas=None, interpret=False):
     """y = A_hi x in plain f32 (t0 table only): the V-cycle level-0
     smoother / power-iteration operator. A_hi is the hi part of the df
     operator — a 2^-24-relative perturbation, irrelevant for a
     preconditioner component."""
-    return _matvec_f32_sel(cp, xf, 0)
+    return _matvec_f32_sel(cp, xf, 0, use_pallas, interpret)
 
 
-def class_ecorr_f32(cp: ClassParts, xf):
+def class_ecorr_f32(cp: ClassParts, xf, use_pallas=None, interpret=False):
     """y = E x, E = A_true - A_df (the t2-class third term), plain f32:
     |E| ~ 2^-49 |A| so f32 evaluation keeps the residual's systematic
     error at ~2^-73 |A||x|."""
-    return _matvec_f32_sel(cp, xf, 2)
+    return _matvec_f32_sel(cp, xf, 2, use_pallas, interpret)

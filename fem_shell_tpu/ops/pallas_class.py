@@ -1,0 +1,235 @@
+"""Pallas TPU kernel: interior term of the matrix-free class-table
+operator (ops/class_matvec.py).
+
+The XLA evaluation of y_int = sum_s c[s] * shift(x, s) shatters into one
+materialized [6, nyp, nxp] df intermediate per accumulation step — the
+EFT two_sum optimization_barrier is an HLO fusion boundary, so the K*6
+df-FMA chain round-trips the full grid through HBM ~54 times per matvec
+(measured 73 ms at 1152^2 on v5e — ~400x the vector-streaming roofline,
+and the dominant cost of the scale solve: the class matvec is the fine
+CG operator AND the level-0 smoother).
+
+Inside a Pallas kernel the chain is straight-line Mosaic vector code
+with VMEM-resident accumulators: one streaming pass over x. There is NO
+coefficient stream at all — the class scalars c[s, a, b] (a few hundred
+numbers) ride in SMEM, so the kernel reads x (hi+lo) and writes y
+(hi+lo) and nothing else. The cost is VPU compute: K*6 df-FMAs per
+output element, cut ~2.5x by a static nonzero mask (flat shells decouple
+membrane [u,v] / plate [w,tx,ty] / drilling [tz] blocks, so most of the
+6x6 class blocks are structurally zero; the mask is part of ClassParts'
+static treedef, computed host-side from the longdouble tables).
+
+Layout: x arrives as the WRAP-PADDED grid [6, nyp+2, nxp+2] flattened to
+lane rows (the same 2D-wrap semantics as the XLA path — the band deltas
+cancel the wrapped interior contributions exactly, see class_matvec.py
+docstring), so a 2D stencil offset (dy, dx) is the static flat shift
+dy*(nxp+2)+dx and the kernel is the scalar-coefficient sibling of
+ops/pallas_spmv_df.py (same halo-row window, same roll+select lane
+shifts, same Dekker/two_sum EFT accumulation — bitwise-parity-tested
+against the XLA path on device, tools/run_tpu_tests.py).
+
+Reference context: replaces PETSc's assembled AIJ SpMV as the hot CG
+operator on uniform grids (reference hot loop doc/validation.tex:529-537)
+at vector-streaming cost instead of matrix-streaming cost.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from fem_shell_tpu.ops.pallas_spmv import LANES, _ceil_to
+
+_SPLIT = np.float32(4097.0)  # numpy scalar: pallas_call rejects captured tracers
+
+
+def _z():
+    """int32 zero for BlockSpec index maps (i64 literals break the
+    remote Mosaic AOT under jax_enable_x64; see pallas_spmv.py)."""
+    return jnp.int32(0)
+
+
+def _two_sum(a, b):
+    s = a + b
+    bb = s - a
+    return s, (a - (s - bb)) + (b - bb)
+
+
+def _two_prod(a, b):
+    p = a * b
+    c = _SPLIT * a
+    ah = c - (c - a)
+    al = a - ah
+    d = _SPLIT * b
+    bh = d - (d - b)
+    bl = b - bh
+    return p, ((ah * bh - p) + ah * bl + al * bh) + al * bl
+
+
+def _kernel(offsets, k, r_tile, hr, nz, df, x_hbm, c_ref, out_ref, x_vmem, sem):
+    """One grid step: DMA an x window, accumulate the scalar stencil.
+
+    ``nz``: static tuple of (a, b, s) triples actually accumulated.
+    ``df``: True = df x/y channels + EFT accumulation; False = plain f32.
+    ``c_ref``: SMEM [2, 36, K] (hi, lo) when df else [1, 36, K].
+    """
+    i = pl.program_id(0)
+    n_tiles = pl.num_programs(0)
+    win_rows = r_tile + 2 * hr
+    two = jnp.int32(2)  # avoid int64 promotion under x64
+
+    def window_dma(slot, tile):
+        return pltpu.make_async_copy(
+            x_hbm.at[:, pl.ds(tile * r_tile, win_rows), :],
+            x_vmem.at[slot],
+            sem.at[slot],
+        )
+
+    @pl.when(i == 0)
+    def _():
+        window_dma(jnp.int32(0), 0).start()
+
+    cur = jax.lax.rem(i, two)
+
+    @pl.when(i + 1 < n_tiles)
+    def _():
+        window_dma(jax.lax.rem(i + 1, two), i + 1).start()
+
+    window_dma(cur, i).wait()
+
+    nch = 16 if df else 8
+    used = sorted({s for (_, _, s) in nz})
+    lane = jax.lax.broadcasted_iota(jnp.int32, (nch, r_tile, LANES), 2)
+    slabs = {}
+    for s in used:
+        off = offsets[s]
+        q, m = divmod(off + hr * LANES, LANES)
+        if m == 0:
+            slabs[s] = x_vmem[cur, :, q : q + r_tile, :]
+        else:
+            a_rows = pltpu.roll(
+                x_vmem[cur, :, q : q + r_tile, :], jnp.int32(LANES - m), 2
+            )
+            b_rows = pltpu.roll(
+                x_vmem[cur, :, q + 1 : q + 1 + r_tile, :], jnp.int32(LANES - m), 2
+            )
+            slabs[s] = jnp.where(lane < LANES - m, a_rows, b_rows)
+
+    # term order (s-major, then b) mirrors the XLA path's accumulation
+    # loop exactly — required for bitwise parity of the EFT chain
+    by_row = {
+        a: sorted(((b, s) for (aa, b, s) in nz if aa == a), key=lambda t: (t[1], t[0]))
+        for a in range(6)
+    }
+    for a in range(6):
+        acc_h = jnp.zeros((r_tile, LANES), jnp.float32)
+        acc_l = jnp.zeros((r_tile, LANES), jnp.float32)
+        for b, s in by_row[a]:
+            slab = slabs[s]
+            ch = c_ref[0, a * 6 + b, s]
+            xh = slab[b]
+            if not df:
+                acc_h = acc_h + ch * xh
+                continue
+            cl = c_ref[1, a * 6 + b, s]
+            xl = slab[8 + b]
+            p, pe = _two_prod(ch, xh)
+            pe = pe + (ch * xl + cl * xh)
+            # renormalized df add (identical sequence to df.df_add /
+            # pallas_spmv_df._kernel — bitwise parity depends on it)
+            sh, se = _two_sum(acc_h, p)
+            se = se + (acc_l + pe)
+            acc_h, acc_l = _two_sum(sh, se)
+        out_ref[0, a, :, :] = acc_h
+        if df:
+            out_ref[1, a, :, :] = acc_l
+
+
+def _grid_params(nf: int, offsets: Sequence[int], r_tile: int = 128):
+    """(npad, nr, r, hr) for a flat length-``nf`` padded-grid vector.
+
+    npad is internal to the kernel (the wrapper slices the output back
+    to nf), so pad straight up to a multiple of r_tile*LANES: each grid
+    step re-reads a 2*hr halo ring around its r_tile payload rows, so
+    large row tiles amortize the window overlap (an 8-row tile at
+    1152^2 re-reads x 5x; 128 rows cost ~1.4x and ~3 MB VMEM)."""
+    halo = max(abs(int(o)) for o in offsets)
+    hr = _ceil_to(_ceil_to(halo, LANES) // LANES + 1, 8)
+    npad = _ceil_to(nf, r_tile * LANES)
+    nr = npad // LANES
+    return npad, nr, r_tile, hr
+
+
+def class_interior_pallas(
+    ctab_h,
+    ctab_l,
+    xph,
+    xpl,
+    offs2d: Sequence[Tuple[int, int]],
+    nzmask: Sequence[Tuple[int, int, int]],
+    interpret: bool = False,
+):
+    """Interior class-stencil contraction on the wrap-padded grid.
+
+    ``ctab_h/ctab_l``: [K, 6, 6] interior scalars (lo may be None for the
+    plain-f32 single-table variant). ``xph/xpl``: [6, nyp+2, nxp+2]
+    wrap-padded x channels (lo None iff ctab_l None). Returns hi (and lo
+    when df) as [6, nyp+2, nxp+2] — junk values on the wrap ring, exact
+    interior; the caller slices [1:-1, 1:-1] and folds the band deltas.
+    """
+    df = ctab_l is not None
+    six, pyp, pxp = xph.shape
+    assert six == 6
+    nf = pyp * pxp
+    offsets = tuple(int(dy) * pxp + int(dx) for dy, dx in offs2d)
+    nz = tuple(sorted(nzmask))
+    npad, nr, r_tile, hr = _grid_params(nf, offsets)
+
+    # coefficient table [2, 36, K] in offs2d order (SMEM)
+    def c36(t):
+        return jnp.transpose(t, (1, 2, 0)).reshape(36, len(offsets))
+
+    ctab = jnp.stack([c36(ctab_h), c36(ctab_l) if df else jnp.zeros_like(c36(ctab_h))])
+
+    def rows3(v):
+        flat = jnp.pad(v.reshape(6, nf), ((0, 2), (0, npad - nf)))
+        return jnp.pad(flat.reshape(8, nr, LANES), ((0, 0), (hr, hr), (0, 0)))
+
+    x2 = jnp.concatenate([rows3(xph), rows3(xpl)], axis=0) if df else rows3(xph)
+
+    nch_out = 2 if df else 1
+    kernel = functools.partial(_kernel, offsets, len(offsets), r_tile, hr, nz, df)
+    y2 = pl.pallas_call(
+        kernel,
+        grid=(nr // r_tile,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            # explicit int32 index map: the default map returns python-int
+            # zeros, which are i64 under x64 and break the remote Mosaic AOT
+            pl.BlockSpec(
+                (2, 36, len(offsets)),
+                lambda i: (_z(), _z(), _z()),
+                memory_space=pltpu.SMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (nch_out, 6, r_tile, LANES),
+            lambda i: (_z(), _z(), i, _z()),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((nch_out, 6, nr, LANES), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, 16 if df else 8, r_tile + 2 * hr, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(x2, ctab)
+    yh = y2[0].reshape(6, npad)[:, :nf].reshape(6, pyp, pxp)
+    if not df:
+        return yh, None
+    return yh, y2[1].reshape(6, npad)[:, :nf].reshape(6, pyp, pxp)

@@ -97,6 +97,32 @@ def test_class_diag_matches_tables(et):
     assert not np.any(np.asarray(diag)[:, st.nyp * st.nxp:])
 
 
+@pytest.mark.parametrize("et,n", [("t", 12), ("q", 12), ("t", 17)])
+def test_class_pallas_interpret_matches_xla(et, n):
+    """Pallas scalar-stencil interior kernel (ops/pallas_class.py) vs
+    the XLA class matvec, interpret mode / eager (CPU jit FMA-contracts
+    the EFTs, see ops/df.py): df, f32 smoother table, and E-term."""
+    _, _, st, cp, diag, npad = _setup(et, n)
+    assert cp.nzmask is not None and len(cp.nzmask) < 36 * len(cp.offs2d)
+    _, x = _rand_x(st, npad, seed=3)
+
+    ref = class_matvec_df(cp, x, use_pallas=False)
+    got = class_matvec_df(cp, x, use_pallas=True, interpret=True)
+    r64 = np.asarray(ref.hi, np.float64) + np.asarray(ref.lo, np.float64)
+    g64 = np.asarray(got.hi, np.float64) + np.asarray(got.lo, np.float64)
+    assert np.abs(g64 - r64).max() < 1e-13 * np.abs(r64).max()
+    assert not np.any(np.asarray(got.hi)[:, st.nyp * st.nxp:])
+
+    # f32 tables: plain-f32 rounding parity only (the interpreter's CPU
+    # backend FMA-contracts mul+add; same 1e-6 bound as the f32 SpMV
+    # kernel parity tests)
+    for fn in (class_matvec_f32, class_ecorr_f32):
+        ref = np.asarray(fn(cp, x.hi, use_pallas=False), np.float64)
+        got = np.asarray(fn(cp, x.hi, use_pallas=True, interpret=True), np.float64)
+        scale = max(np.abs(ref).max(), 1e-30)
+        assert np.abs(got - ref).max() < 1e-6 * scale
+
+
 def test_mg_routes_fine_level_through_class_operator():
     """df MG on a uniform grid auto-selects the matrix-free fine level:
     no materialized fine pair, and solve_df converges to the pair-path

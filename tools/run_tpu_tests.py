@@ -14,6 +14,8 @@ Checks:
                     tf accuracy vs the longdouble class-table oracle
   4. pallas-elem  — Pallas-resident df element kernels vs df_function_bl
                     and the f64 oracle, + Melem/s probe
+  4b. pallas-class — Pallas class-interior matvec vs XLA (bitwise df
+                    parity) + 1152^2 timing probe vs the XLA chain
   5. mg-df        — MG-df Test-G golden (multi-dispatch + fused paths)
   6. class-mv     — matrix-free class-table df matvec + E-correction vs
                     the longdouble oracle (exact-EFT contract, 1e-12)
@@ -271,6 +273,84 @@ for et in ("t", "q"):
 print("OK")
 """
 
+_PALLAS_CLASS_SCRIPT = r"""
+import os
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+import time
+import jax
+jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+import jax.numpy as jnp
+import numpy as np
+if jax.devices()[0].platform == "cpu":
+    print("SKIP: no accelerator")
+    raise SystemExit(0)
+from fem_shell_tpu.large import LargeShellSystem
+from fem_shell_tpu.materials import Material
+from fem_shell_tpu.meshgen import MeshGenParams, generate
+from fem_shell_tpu.ops.class_matvec import (
+    build_class_parts, class_ecorr_f32, class_matvec_df, class_matvec_f32,
+)
+from fem_shell_tpu.ops.df import DF
+from fem_shell_tpu.ops.exact_stencil import build_exact_stencil
+
+mat = Material(0.3, 1e7, 0.5)
+
+def setup(et, n):
+    p = MeshGenParams(et, n, n, 0, 0, 10, 10, (0, 0, 0, 0), 300.0, 2, et == "q", "z")
+    mesh, rows, fac = generate(p)
+    sys_ = LargeShellSystem(mesh, mat, dtype=jnp.float64)
+    st = build_exact_stencil(mesh, mat, sys_.offsets)
+    npad = sys_.pattern.n_pad
+    cp, _ = build_class_parts(st, npad)
+    n_ = st.nyp * st.nxp
+    rng = np.random.default_rng(0)
+    x64 = rng.standard_normal((6, n_))
+    xh = np.pad(x64.astype(np.float32), ((0, 0), (0, npad - n_)))
+    xl = np.pad((x64 - xh[:, :n_].astype(np.float64)).astype(np.float32),
+                ((0, 0), (0, npad - n_)))
+    return cp, DF(jnp.asarray(xh), jnp.asarray(xl))
+
+# 1) BITWISE parity Pallas vs XLA (identical EFT sequence by design)
+for et in ("t", "q"):
+    cp, x = setup(et, 48)
+    with jax.default_matmul_precision("highest"):
+        ref = jax.jit(lambda c, v: class_matvec_df(c, v, use_pallas=False))(cp, x)
+        got = jax.jit(lambda c, v: class_matvec_df(c, v, use_pallas=True))(cp, x)
+        rf = np.asarray(jax.jit(lambda c, v: class_matvec_f32(c, v, use_pallas=False))(cp, x.hi))
+        gf = np.asarray(jax.jit(lambda c, v: class_matvec_f32(c, v, use_pallas=True))(cp, x.hi))
+        re_ = np.asarray(jax.jit(lambda c, v: class_ecorr_f32(c, v, use_pallas=False))(cp, x.hi))
+        ge = np.asarray(jax.jit(lambda c, v: class_ecorr_f32(c, v, use_pallas=True))(cp, x.hi))
+    bit = (np.array_equal(np.asarray(ref.hi), np.asarray(got.hi))
+           and np.array_equal(np.asarray(ref.lo), np.asarray(got.lo)))
+    r64 = np.asarray(ref.hi, np.float64) + np.asarray(ref.lo, np.float64)
+    g64 = np.asarray(got.hi, np.float64) + np.asarray(got.lo, np.float64)
+    rel = np.abs(g64 - r64).max() / max(np.abs(r64).max(), 1e-30)
+    print(f"{et}: df pallas vs xla bit-parity {bit} rel {rel:.2e}")
+    assert rel < 1e-13, f"df pallas class kernel off XLA: {rel}"
+    for nm, a, b in (("f32", rf, gf), ("ecorr", re_, ge)):
+        s = max(np.abs(a).max(), 1e-30)
+        d = np.abs(b - a).max() / s
+        print(f"{et}: {nm} pallas vs xla rel {d:.2e} (bitwise {np.array_equal(a, b)})")
+        assert d < 1e-6, f"{nm} pallas class kernel off XLA: {d}"
+
+# 2) timing at scale (honest: chained dispatches + one host fetch)
+cp, x = setup("t", 1152)
+with jax.default_matmul_precision("highest"):
+    for tag, up in (("xla", False), ("pallas", True)):
+        fn = jax.jit(lambda c, v: class_matvec_df(c, v, use_pallas=up))
+        y = fn(cp, x); float(jnp.sum(y.hi))  # warm
+        reps = 20
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            y = fn(cp, y)
+        float(jnp.sum(y.hi))
+        dt = (time.perf_counter() - t0) / reps
+        print(f"1152^2 df matvec [{tag}]: {dt * 1e3:.2f} ms", flush=True)
+print("OK")
+"""
+
 _REFINED_SCRIPT = r"""
 import os
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
@@ -321,6 +401,7 @@ def checks():
         "dfk": dfk_script,
         "pallas-df": _PALLAS_DF_SCRIPT,
         "pallas-elem": _PALLAS_ELEM_SCRIPT,
+        "pallas-class": _PALLAS_CLASS_SCRIPT,
         "mg-df": _MGDF_SCRIPT,
         "class-mv": _CLASSMV_SCRIPT,
         "refined": _REFINED_SCRIPT,
