@@ -105,20 +105,25 @@ def _kernel(offsets, k, r_tile, hr, nz, df, x_hbm, c_ref, out_ref, x_vmem, sem):
     nch = 16 if df else 8
     used = sorted({s for (_, _, s) in nz})
     lane = jax.lax.broadcasted_iota(jnp.int32, (nch, r_tile, LANES), 2)
+    # one full-window roll per distinct lane alignment, shared by every
+    # offset with that alignment (the wrapper pads grid rows to a LANES
+    # multiple, so a 3x3 stencil has only alignments {0, 1, LANES-1} and
+    # the dx=0 column needs no roll at all)
+    qm = {s: divmod(offsets[s] + hr * LANES, LANES) for s in used}
+    rolled = {
+        m: pltpu.roll(x_vmem[cur], jnp.int32(LANES - m), 2)
+        for m in sorted({m for _, m in qm.values()} - {0})
+    }
     slabs = {}
     for s in used:
-        off = offsets[s]
-        q, m = divmod(off + hr * LANES, LANES)
+        q, m = qm[s]
         if m == 0:
             slabs[s] = x_vmem[cur, :, q : q + r_tile, :]
         else:
-            a_rows = pltpu.roll(
-                x_vmem[cur, :, q : q + r_tile, :], jnp.int32(LANES - m), 2
+            r = rolled[m]
+            slabs[s] = jnp.where(
+                lane < LANES - m, r[:, q : q + r_tile, :], r[:, q + 1 : q + 1 + r_tile, :]
             )
-            b_rows = pltpu.roll(
-                x_vmem[cur, :, q + 1 : q + 1 + r_tile, :], jnp.int32(LANES - m), 2
-            )
-            slabs[s] = jnp.where(lane < LANES - m, a_rows, b_rows)
 
     # term order (s-major, then b) mirrors the XLA path's accumulation
     # loop exactly — required for bitwise parity of the EFT chain
@@ -185,8 +190,12 @@ def class_interior_pallas(
     df = ctab_l is not None
     six, pyp, pxp = xph.shape
     assert six == 6
-    nf = pyp * pxp
-    offsets = tuple(int(dy) * pxp + int(dx) for dy, dx in offs2d)
+    # pad grid rows to a LANES multiple: every dy lands on lane
+    # alignment 0 (plain row slice in the kernel) and only dx=+-1 need a
+    # lane roll — 2 full-window rolls total instead of one per offset
+    pxq = _ceil_to(pxp, LANES)
+    nf = pyp * pxq
+    offsets = tuple(int(dy) * pxq + int(dx) for dy, dx in offs2d)
     nz = tuple(sorted(nzmask))
     npad, nr, r_tile, hr = _grid_params(nf, offsets)
 
@@ -197,7 +206,8 @@ def class_interior_pallas(
     ctab = jnp.stack([c36(ctab_h), c36(ctab_l) if df else jnp.zeros_like(c36(ctab_h))])
 
     def rows3(v):
-        flat = jnp.pad(v.reshape(6, nf), ((0, 2), (0, npad - nf)))
+        vq = jnp.pad(v, ((0, 2), (0, 0), (0, pxq - pxp)))
+        flat = jnp.pad(vq.reshape(8, nf), ((0, 0), (0, npad - nf)))
         return jnp.pad(flat.reshape(8, nr, LANES), ((0, 0), (hr, hr), (0, 0)))
 
     x2 = jnp.concatenate([rows3(xph), rows3(xpl)], axis=0) if df else rows3(xph)
@@ -229,7 +239,10 @@ def class_interior_pallas(
         ],
         interpret=interpret,
     )(x2, ctab)
-    yh = y2[0].reshape(6, npad)[:, :nf].reshape(6, pyp, pxp)
+    def ungrid(yc):
+        return yc.reshape(6, npad)[:, :nf].reshape(6, pyp, pxq)[:, :, :pxp]
+
+    yh = ungrid(y2[0])
     if not df:
         return yh, None
-    return yh, y2[1].reshape(6, npad)[:, :nf].reshape(6, pyp, pxp)
+    return yh, ungrid(y2[1])

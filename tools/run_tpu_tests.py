@@ -348,6 +348,16 @@ with jax.default_matmul_precision("highest"):
         float(jnp.sum(y.hi))
         dt = (time.perf_counter() - t0) / reps
         print(f"1152^2 df matvec [{tag}]: {dt * 1e3:.2f} ms", flush=True)
+    for tag, up in (("xla", False), ("pallas", True)):
+        fn = jax.jit(lambda c, v: class_matvec_f32(c, v, use_pallas=up))
+        yf = fn(cp, x.hi); float(jnp.sum(yf))  # warm
+        reps = 20
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            yf = fn(cp, yf)
+        float(jnp.sum(yf))
+        dt = (time.perf_counter() - t0) / reps
+        print(f"1152^2 f32 matvec [{tag}]: {dt * 1e3:.2f} ms", flush=True)
 print("OK")
 """
 
