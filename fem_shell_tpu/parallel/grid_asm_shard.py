@@ -213,10 +213,20 @@ class GridShardedDFShellSystem:
     strip length is ``l = R * nxp`` — a contiguous flat partition that
     matches ShardedStencilSystem's strip semantics exactly, and the df
     CG machinery of parallel/df_shard.py (halo-exchange df matvec,
-    psum dots) is reused verbatim on the reshaped row blocks."""
+    psum dots) is reused verbatim on the reshaped row blocks.
+
+    ``prec="mg"`` swaps the scalar-Jacobi preconditioner for the
+    row-sharded f32 multigrid V-cycle (parallel/mg_shard.py) — the
+    mesh-independent-iteration production configuration (the reference's
+    PETSc-MG analog, doc/implementation.tex:463-521). The row partition
+    then adopts the V-cycle's even-aligned fine-level rows, the V-cycle
+    smooths the FINE level directly on the hi part of the sharded
+    grid-df operator (no f32 fine re-assembly), and only the tiny
+    coarser levels assemble per shard inside the same shard_map."""
 
     def __init__(self, mesh, material, device_mesh, use_pallas=None,
-                 eager_asm: Optional[bool] = None):
+                 eager_asm: Optional[bool] = None, prec: str = "jacobi",
+                 mg_kw: Optional[dict] = None):
         from fem_shell_tpu.mg import detect_structured_grid
         from fem_shell_tpu.parallel.df_shard import ShardedDFShellSystem
         from fem_shell_tpu.ops.elements import (
@@ -229,20 +239,42 @@ class GridShardedDFShellSystem:
             raise ValueError(
                 "GridShardedDFShellSystem requires a structured grid mesh"
             )
+        if prec not in ("jacobi", "mg"):
+            raise ValueError(f"prec must be 'jacobi' or 'mg', got {prec!r}")
         self.grid = grid
+        self._prec = prec
         s = int(np.prod(list(device_mesh.shape.values())))
         nyp, nxp = grid.nyp, grid.nxp
-        r_rows = -(-nyp // s)
+        if prec == "mg":
+            # row-sharded f32 V-cycle preconditioner (parallel/mg_shard.py):
+            # adopt ITS fine-level row partition (_even_ceil rows, so the
+            # restriction windows stay even-aligned) — the grid-df row
+            # blocks then live in exactly the layout the V-cycle consumes,
+            # no re-sharding between operator and preconditioner.
+            from fem_shell_tpu.parallel.mg_shard import ShardedMGShellSystem
+
+            self.mgp = ShardedMGShellSystem(
+                mesh, material, device_mesh, dtype=jnp.float32,
+                **(mg_kw or {}),
+            )
+            r_rows = self.mgp.levels[0].rows
+        else:
+            self.mgp = None
+            r_rows = -(-nyp // s)
         if (s - 1) * r_rows > nyp - 2:
             raise ValueError(
                 f"grid too small for {s} shards: {nyp} node rows need "
                 f">=1 element row on the last shard (R={r_rows})"
             )
-        self._row_starts = [i * r_rows for i in range(s)] + [nyp]
+        self._row_starts = [min(i * r_rows, nyp) for i in range(s)] + [nyp]
         self.sys = ShardedDFShellSystem(
             mesh, material, device_mesh, l_force=r_rows * nxp,
             use_pallas=use_pallas,
         )
+        if self.mgp is not None:
+            fine = self.mgp.levels[0]
+            assert fine.l == self.sys.l, (fine.l, self.sys.l)
+            assert tuple(fine.sys.offsets) == tuple(self.sys.offsets)
         dm64, dp64 = material.matrices()
         dm = jnp.asarray(dm64, jnp.float64)
         dp = jnp.asarray(dp64, jnp.float64)
@@ -300,16 +332,17 @@ class GridShardedDFShellSystem:
         return self._vals
 
     # ------------------------------------------------------------------
-    def _solve_impl(self, hi_s, lo_s, forces_l, rtol, maxiter):
+    def _solve_impl(self, hi_s, lo_s, forces_l, rtol, maxiter, *level_args):
         from jax import shard_map
         from jax.sharding import PartitionSpec as P
         from fem_shell_tpu.ops.df import df_scalar_from_f64  # noqa: F401
         from fem_shell_tpu.parallel.df_shard import make_df_matvec, pcg_df_spmd
 
         sys = self.sys
+        mgp = self.mgp
         k, l = sys.k, sys.l
 
-        def spmd(hi_l, lo_l, free_l, b_l):
+        def spmd(hi_l, lo_l, free_l, b_l, *flat):
             hi_l, lo_l = hi_l[0], lo_l[0]
             free_l, b_l = free_l[0], b_l[0]
             vals_df = DF(hi_l.reshape(6, 6, k, l), lo_l.reshape(6, 6, k, l))
@@ -320,17 +353,42 @@ class GridShardedDFShellSystem:
             b64 = (b_l * free_l).astype(jnp.float64)
             bh = b64.astype(jnp.float32)
             b = DF(bh, (b64 - bh.astype(jnp.float64)).astype(jnp.float32))
-            prec = lambda r: DF(inv_diag * r.hi, inv_diag * r.lo)  # noqa: E731
+            if mgp is not None:
+                # V-cycle fine level: the hi part of the sharded grid-df
+                # operator IS the f32 fine operator (same [6,6,K,L]
+                # layout as assemble_vals_spmd) — no f32 element
+                # re-assembly on the fine grid; coarser sharded levels
+                # assemble per shard (preconditioner-only, tiny)
+                ops = [(vals_df.hi, inv_diag, free_l.astype(jnp.float32))]
+                i = 0
+                for li in range(1, mgp.n_sharded):
+                    lvl = mgp.levels[li]
+                    coords, tri_c, tri_w, quad_c, quad_w, free = flat[i : i + 6]
+                    i += 6
+                    vals, inv_d = lvl.sys.assemble_vals_spmd(
+                        coords, tri_c[0], tri_w[0], quad_c[0], quad_w[0], free[0]
+                    )
+                    ops.append((vals, inv_d, free[0]))
+                prec = lambda r: DF(  # noqa: E731
+                    mgp._vcycle(0, ops, r.hi), jnp.zeros_like(r.lo)
+                )
+            else:
+                prec = lambda r: DF(inv_diag * r.hi, inv_diag * r.lo)  # noqa: E731
             x64, it, res = pcg_df_spmd(matvec, b, prec, rtol, maxiter)
             return x64[None], it[None], res[None]
 
+        in_specs = [P(_DF_AXIS)] * 4
+        if mgp is not None:
+            for _ in range(1, mgp.n_sharded):
+                in_specs += [P(), P(_DF_AXIS), P(_DF_AXIS), P(_DF_AXIS),
+                             P(_DF_AXIS), P(_DF_AXIS)]
         return shard_map(
             spmd,
             mesh=sys.device_mesh,
-            in_specs=(P(_DF_AXIS), P(_DF_AXIS), P(_DF_AXIS), P(_DF_AXIS)),
+            in_specs=tuple(in_specs),
             out_specs=(P(_DF_AXIS), P(_DF_AXIS), P(_DF_AXIS)),
             check_vma=False,
-        )(hi_s, lo_s, sys.free, forces_l)
+        )(hi_s, lo_s, sys.free, forces_l, *level_args)
 
     # ------------------------------------------------------------------
     def solve_refined(
@@ -438,10 +496,15 @@ class GridShardedDFShellSystem:
         f[: sys.mesh.n_nodes] = np.asarray(forces)
         f_l = jnp.asarray(f.T.reshape(6, s, l).transpose(1, 0, 2), jnp.float64)
         f_l = jax.device_put(f_l, NamedSharding(sys.device_mesh, P(_DF_AXIS)))
+        level_args = []
+        if self.mgp is not None:
+            for li in range(1, self.mgp.n_sharded):
+                level_args += list(self.mgp.levels[li].args)
         if not hasattr(self, "_solve_jit"):
             self._solve_jit = jax.jit(self._solve_impl, static_argnums=(3, 4))
         with jax.default_matmul_precision("highest"):
-            x, it, res = self._solve_jit(hi_s, lo_s, f_l, rtol, maxiter)
+            x, it, res = self._solve_jit(hi_s, lo_s, f_l, rtol, maxiter,
+                                         *level_args)
         self.last_iters = int(np.max(np.asarray(it)))
         self.last_residual = float(np.max(np.asarray(res)))
         x = np.asarray(x).transpose(1, 0, 2).reshape(6, sys.n_tot).T

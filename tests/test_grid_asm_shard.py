@@ -143,6 +143,58 @@ def test_grid_sharded_df_solver_golden_and_invariance():
     assert np.abs(us[1] - u64).max() < 1e-4 * np.abs(u64).max()
 
 
+def test_grid_sharded_df_mg_preconditioner():
+    """prec='mg': the row-sharded f32 V-cycle preconditions the sharded
+    grid-df CG, with the V-cycle's FINE level smoothing directly on the
+    hi part of the sharded-assembled df operator. Iterations must be
+    mesh-independent-class (~22 here vs ~1000 Jacobi), shard-count
+    invariant, and the solution must match the f64 oracle at the
+    CPU-jit df floor."""
+    from fem_shell_tpu.parallel.grid_asm_shard import GridShardedDFShellSystem
+    from fem_shell_tpu.parallel.sharded import make_device_mesh
+    from fem_shell_tpu.system import ShellSystem
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >=4 (virtual) devices")
+    p = MeshGenParams("q", 16, 64, 0, 0, 2.5, 10, (0, 0, 0, 0), 300.0, 2, True, "z")
+    mesh, rows, fac = generate(p)
+    us = {}
+    for nd in (1, 2, 4):
+        sys = GridShardedDFShellSystem(mesh, MAT, make_device_mesh(nd), prec="mg")
+        u = sys.solve(rows * fac, rtol=1e-9, maxiter=500)
+        assert sys.last_residual < 1e-9
+        assert sys.last_iters <= 60, sys.last_iters  # Jacobi needs ~1000
+        us[nd] = u
+    scale = np.abs(us[1]).max()
+    assert np.abs(us[1] - us[2]).max() < 1e-5 * scale
+    assert np.abs(us[1] - us[4]).max() < 1e-5 * scale
+    u64 = np.asarray(ShellSystem(mesh, MAT).solve(rows * fac))
+    assert np.abs(us[1] - u64).max() < 1e-4 * np.abs(u64).max()
+
+
+def test_grid_sharded_refined_solve_mg_prec():
+    """Sharded iterative refinement composed with the MG preconditioner:
+    inner solves are V-cycle-preconditioned (few iterations), the true
+    residual still drives the solution past the CPU-degraded plain-solve
+    floor to 1e-6 parity vs the f64 oracle."""
+    from fem_shell_tpu.parallel.grid_asm_shard import GridShardedDFShellSystem
+    from fem_shell_tpu.parallel.sharded import make_device_mesh
+    from fem_shell_tpu.system import ShellSystem
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >=2 (virtual) devices")
+    p = MeshGenParams("q", 16, 64, 0, 0, 2.5, 10, (0, 0, 0, 0), 300.0, 2, True, "z")
+    mesh, rows, fac = generate(p)
+    sys = GridShardedDFShellSystem(mesh, MAT, make_device_mesh(2), prec="mg")
+    u = sys.solve_refined(rows * fac, rtol=1e-10, inner_rtol=1e-6,
+                          jit_residual=False)
+    assert len(sys.refine_history) >= 1
+    u64 = np.asarray(ShellSystem(mesh, MAT).solve(rows * fac, rtol=1e-13))
+    scale = np.abs(u64).max()
+    assert np.abs(u - u64).max() < 1e-6 * scale, (
+        np.abs(u - u64).max() / scale, sys.refine_history)
+
+
 def test_grid_sharded_refined_solve():
     """Sharded iterative refinement: distributed inner df CG solves +
     the single-device class-table TRUE residual. With the residual run
