@@ -44,6 +44,17 @@ def action_read_iteration_checkpoint() -> str:
     return ACTION_READ_ITERATION_CHECKPOINT
 
 
+def _extrapolate(hist, order: int) -> np.ndarray:
+    """Time-extrapolated initial guess from the converged-state history
+    (newest first). Falls back to the highest order the history allows —
+    the same degradation preCICE applies on the first windows."""
+    if order >= 2 and len(hist) >= 3:
+        return 2.5 * hist[0] - 2.0 * hist[1] + 0.5 * hist[2]
+    if order >= 1 and len(hist) >= 2:
+        return 2.0 * hist[0] - hist[1]
+    return hist[0].copy()
+
+
 class Participant:
     """One coupling participant (the ``SolverInterface`` analog)."""
 
@@ -92,6 +103,10 @@ class Participant:
         self._initialized = False
         self._accel = None
         self._conv_prev: Dict[Tuple[str, str], np.ndarray] = {}
+        # converged-state history per exchange, newest first (for time
+        # extrapolation at window completion — precice_config.xml:77)
+        self._extrap_hist: Dict[Tuple[str, str], list] = {}
+        self._conv_seed: Dict[Tuple[str, str], np.ndarray] = {}
 
     # ------------------------------------------------------------------
     # identity / metadata
@@ -281,6 +296,23 @@ class Participant:
                     and ex.data == self.scheme.acceleration.data
                 ):
                     vals = self._accel.accelerate(vals.reshape(-1)).reshape(vals.shape)
+                if implicit and converged and self.scheme.extrapolation_order > 0:
+                    # window completed: record the CONVERGED state (sent
+                    # unchanged — the peer extrapolates its own copy
+                    # locally, like preCICE's per-scheme extrapolateData;
+                    # sending predictions would pollute the peer's
+                    # history with predictions of predictions) and seed
+                    # the next window's convergence baseline with the
+                    # prediction so a smooth first iterate can converge
+                    # immediately (precice_config.xml:77 requests order 2)
+                    key = (ex.data, ex.mesh)
+                    hist = self._extrap_hist.setdefault(key, [])
+                    hist.insert(0, vals.copy())
+                    del hist[3:]
+                    pred = _extrapolate(hist, self.scheme.extrapolation_order)
+                    for cm in self.scheme.convergence:
+                        if cm.data == ex.data:
+                            self._conv_seed[(cm.data, cm.mesh)] = pred
                 payload[(ex.data, ex.mesh)] = vals
         ongoing_after = self._time + self.scheme.dt < self.scheme.max_time - 1e-12
         will_advance = converged or not implicit
@@ -306,6 +338,18 @@ class Participant:
             self._timestep += 1
             self._iteration = 0
             self._conv_prev.clear()
+            if implicit and self.scheme.extrapolation_order > 0:
+                # new window's convergence baseline = the extrapolated
+                # prediction (computed when the window completed)
+                self._conv_prev.update(self._conv_seed)
+                self._conv_seed = {}
+                # extrapolate my READ buffers too: the first solve of the
+                # new window otherwise runs on the last window's stale
+                # peer data (the forces-lag-one-iteration quirk,
+                # fem-shell_precice.cpp:271-323) and its result is thrown
+                # away — a 2nd-order predictor of the peer data makes
+                # that first solve land on the converged state directly
+                self._extrapolate_read_buffers()
             if self._accel is not None:
                 self._accel.next_timestep()
             self._ongoing = ongoing
@@ -314,6 +358,20 @@ class Participant:
         else:
             self._iteration += 1
             self._actions.add(ACTION_READ_ITERATION_CHECKPOINT)
+
+    def _extrapolate_read_buffers(self) -> None:
+        order = self.scheme.extrapolation_order
+        for ex in self.scheme.exchanges:
+            if ex.to != self.name:
+                continue
+            key = (ex.data, ex.mesh)
+            cur = self._buffers.get(key)
+            if cur is None:
+                continue
+            hist = self._extrap_hist.setdefault(key, [])
+            hist.insert(0, cur.copy())
+            del hist[3:]
+            self._store_incoming(ex.data, ex.mesh, _extrapolate(hist, order))
 
     # ------------------------------------------------------------------
     # status / actions

@@ -46,8 +46,13 @@ def run_demo(
     thickness: float = 0.1,
     rtol: float = 1e-10,
     verbose: bool = True,
+    config=None,
 ):
-    """Run the coupled demo in-process; returns (structure_result, fluid_history)."""
+    """Run the coupled demo in-process; returns (structure_result, fluid_history).
+    ``config`` overrides the default tower XML (path or CouplingConfig —
+    tests use it to vary scheme knobs like extrapolation-order)."""
+    if config is None:
+        config = CONFIG
     mesh = tower_mesh()
     t_struct, t_fluid = InProcessTransport.pair()
 
@@ -55,7 +60,7 @@ def run_demo(
 
     def fluid_thread():
         fluid_out["history"] = run_fluid(
-            CONFIG, transport=t_fluid, max_timesteps=max_timesteps
+            config, transport=t_fluid, max_timesteps=max_timesteps
         )
 
     th = threading.Thread(target=fluid_thread, daemon=True)
@@ -69,7 +74,7 @@ def run_demo(
     result = run_structure(
         mesh,
         Material(nu=nu, em=em, thickness=thickness),
-        CONFIG,
+        config,
         dt=0.01,
         dead_axis="y",
         transport=t_struct,

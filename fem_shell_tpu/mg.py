@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import time
 from typing import List, Optional, Union
 
 import jax
@@ -156,6 +157,45 @@ class _Level:
         offsets, nyp, nxp, npad = aux
         return cls(values, offsets, free_t, inv_diag, nyp, nxp, npad, dense_inv,
                    omega, chol, chol_scale, lam, cparts)
+
+
+class _RebuildProf:
+    """Stage profiler for reassemble(): each mark() FETCHES one element
+    of every listed array (block_until_ready is optimistic on the remote
+    axon platform — only a device->host fetch drains the stream), then
+    records the wall-time since the previous mark."""
+
+    def __init__(self, on: bool):
+        self.on = on
+        self.rows: list = []
+        self._t = time.perf_counter() if on else 0.0
+
+    def mark(self, name: str, *arrs):
+        if not self.on:
+            return
+        for a in arrs:
+            if a is None:
+                continue
+            for leaf in jax.tree_util.tree_leaves(a):
+                if hasattr(leaf, "ndim") and leaf.ndim >= 0:
+                    np.asarray(jax.device_get(leaf[(0,) * leaf.ndim]))
+        t = time.perf_counter()
+        self.rows.append((name, t - self._t))
+        self._t = t
+
+    def absorb(self, prefix: str, timings: dict):
+        if not self.on:
+            return
+        for k, v in timings.items():
+            self.rows.append((f"{prefix}{k}", v))
+
+    def report(self):
+        if not self.on:
+            return
+        tot = sum(d for n, d in self.rows if not n.startswith("  "))
+        for name, d in self.rows:
+            print(f"  rebuild-prof {name:36s} {d:8.3f} s", flush=True)
+        print(f"  rebuild-prof {'TOTAL':36s} {tot:8.3f} s", flush=True)
 
 
 def _to_grid(x, lvl: _Level):
@@ -429,24 +469,49 @@ class MultigridShellSystem:
         self._df_chunk = min(chunk, 8192)
 
         if assemble:
-            # coarsest: dense inverse, computed on host (TPU lacks LU support)
-            c = self.levels[-1]
-            dense = np.asarray(_densify(c), np.float64)
-            inv = np.linalg.inv(dense).astype(np.float64 if dtype == jnp.float64 else np.float32)
-            self.levels[-1] = dataclasses.replace(c, dense_inv=jnp.asarray(inv, dtype))
+            self.levels[-1] = self._coarse_factor(self.levels[-1])
 
         self._solve_jit = jax.jit(self._solve_impl, static_argnums=(2, 3))
 
     # ------------------------------------------------------------------
-    def _build_class_level(self, mesh, sys_l):
+    def _coarse_factor(self, c: _Level) -> _Level:
+        """Coarsest-level direct-solve factors. f32 (production) mode:
+        device-resident Cholesky of the diagonally scaled dense operator
+        — no host round trip (the densify fetch + host inv + re-upload
+        cost ~2.3 s per rebuild over the tunneled remote platform, r3
+        profile). f64 mode keeps the host inverse (golden/CPU paths; TPU
+        lacks dense LU and f64 Cholesky would run emulated)."""
+        if self.dtype == jnp.float32:
+            if not hasattr(self, "_chol_jit"):
+                def _factor(lvl):
+                    dense = _densify(lvl)
+                    d = jnp.diagonal(dense)
+                    s = jnp.where(d > 0, jax.lax.rsqrt(d), 1.0)
+                    scaled = (dense * s[None, :] * s[:, None]).astype(jnp.float32)
+                    return jnp.linalg.cholesky(scaled), s.astype(jnp.float32)
+
+                self._chol_jit = jax.jit(_factor)
+            chol, s = self._chol_jit(c)
+            return dataclasses.replace(c, chol=chol, chol_scale=s, dense_inv=None)
+        dense = np.asarray(_densify(c), np.float64)
+        inv = np.linalg.inv(dense)
+        return dataclasses.replace(c, dense_inv=jnp.asarray(inv, self.dtype))
+
+    # ------------------------------------------------------------------
+    def _build_class_level(self, mesh, sys_l, timings: Optional[dict] = None):
         """Host: exact-stencil tables -> matrix-free class operator parts
         for the fine level (raises ValueError off uniform grids)."""
         from fem_shell_tpu.ops.class_matvec import build_class_parts
         from fem_shell_tpu.ops.exact_stencil import build_exact_stencil
 
-        st = build_exact_stencil(mesh, self.material, sys_l.offsets)
+        st = build_exact_stencil(mesh, self.material, sys_l.offsets,
+                                 timings=timings, grid=self.grid)
         self._exact_st = st
-        return build_class_parts(st, sys_l.pattern.n_pad)
+        t0 = time.perf_counter()
+        out = build_class_parts(st, sys_l.pattern.n_pad)
+        if timings is not None:
+            timings["class_parts"] = time.perf_counter() - t0
+        return out
 
     # ------------------------------------------------------------------
     def _diag_of(self, values, offsets):
@@ -456,19 +521,27 @@ class MultigridShellSystem:
             return soa_diagonal_tiled(values, offsets)
         return soa_diagonal(values, offsets=offsets)
 
-    def reassemble(self):
+    def reassemble(self, profile: bool = False):
         """Re-run every level's operator assembly (steady-state: all jits
         and strip plans are cached). Benchmarks use this so 'overall time'
         covers assembly + solve like the reference's Test-G timing
         (doc/validation.tex:500-537); coupled drivers would use it when
-        geometry changes."""
+        geometry changes. ``profile=True`` prints a per-stage wall-time
+        breakdown (each stage synced by a device->host fetch)."""
+        prof = _RebuildProf(profile)
         for l, sys_l in enumerate(self._systems):
             if l == 0 and self._cdf is not None:
                 # matrix-free class level: re-derive the tables from the
                 # mesh (the honest per-rep "assembly" of this path)
                 if hasattr(self, "_exact_st"):
                     del self._exact_st
-                cparts, diag = self._build_class_level(self._fine_mesh, sys_l)
+                tim: Optional[dict] = {} if profile else None
+                cparts, diag = self._build_class_level(
+                    self._fine_mesh, sys_l, timings=tim
+                )
+                if tim:
+                    prof.absorb("  class/", tim)
+                prof.mark("class/build+upload", cparts, diag)
                 self._cdf = cparts
                 lvl = dataclasses.replace(
                     self.levels[0],
@@ -476,7 +549,9 @@ class MultigridShellSystem:
                     cparts=cparts,
                     inv_diag=jnp.where(diag != 0, 1.0 / diag, 1.0),
                 )
+                prof.mark("class/inv_diag", lvl.inv_diag)
                 om, lam = self._level_omega(lvl)
+                prof.mark("class/omega", om, lam)
                 self.levels[0] = dataclasses.replace(lvl, omega=om, lam=lam)
                 continue
             # release the old operator FIRST: at the largest scale two df
@@ -507,6 +582,7 @@ class MultigridShellSystem:
             else:
                 values = sys_l.assemble()
                 diag = None
+            prof.mark(f"L{l}/assemble", values, diag)
             if diag is None:
                 diag = self._diag_of(values, sys_l.offsets)
             lvl = dataclasses.replace(
@@ -514,13 +590,15 @@ class MultigridShellSystem:
                 values=values,
                 inv_diag=jnp.where(diag != 0, 1.0 / diag, 1.0),
             )
+            prof.mark(f"L{l}/inv_diag", lvl.inv_diag)
             om, lam = self._level_omega(lvl)
+            prof.mark(f"L{l}/omega", om, lam)
             self.levels[l] = dataclasses.replace(lvl, omega=om, lam=lam)
-        c = self.levels[-1]
-        dense = np.asarray(_densify(c), np.float64)
-        inv = np.linalg.inv(dense).astype(np.float64 if self.dtype == jnp.float64 else np.float32)
-        self.levels[-1] = dataclasses.replace(c, dense_inv=jnp.asarray(inv, self.dtype))
+        c = self._coarse_factor(self.levels[-1])
+        self.levels[-1] = c
+        prof.mark("coarse/factor", c.chol if c.chol is not None else c.dense_inv)
         self._fine = self.levels[0]
+        prof.report()
         if hasattr(self, "_levels32"):
             del self._levels32  # stale f32 copies of the old values
         # the fine pair is now the ASSEMBLED one again; solve_df_refined
@@ -847,7 +925,8 @@ class MultigridShellSystem:
             st = self._exact_st
         else:
             st = build_exact_stencil(
-                self._fine_mesh, self.material, self.levels[0].offsets
+                self._fine_mesh, self.material, self.levels[0].offsets,
+                grid=self.grid,
             )
         self._exact_st = st
         tfl0, tfl1, tfl2, cls_flat = class_flat_tables(st)

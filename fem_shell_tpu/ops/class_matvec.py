@@ -151,9 +151,14 @@ def build_class_parts(st: ExactStencil, npad: int):
 
     k0 = st.offs2d.index((0, 0))
     aa = np.arange(6)
-    diag_ld = a_ld[k0, aa, aa][:, cy, :][:, :, cx]  # [6, nyp, nxp]
+    # expand the [6, P, P] diagonal class table in f64, not longdouble:
+    # the O(N) longdouble gather+convert cost ~seconds at 2304^2, and the
+    # f64 intermediate only matters in (astronomically rare, harmless)
+    # f32 double-rounding ties of a preconditioner diagonal
+    diag_tab = a_ld[k0, aa, aa].astype(np.float64)  # [6, P, P]
+    diag64 = diag_tab[:, cy, :][:, :, cx]  # [6, nyp, nxp]
     diag = np.zeros((6, npad), np.float32)
-    diag[:, : nyp * nxp] = diag_ld.reshape(6, -1).astype(np.float32)
+    diag[:, : nyp * nxp] = diag64.reshape(6, -1).astype(np.float32)
 
     ih_np = np.asarray(st.t0[:, :, :, 2, 2], np.float32)
     il_np = np.asarray(st.t1[:, :, :, 2, 2], np.float32)

@@ -116,38 +116,62 @@ class ExactStencil:
         )
 
 
-def build_exact_stencil(mesh, material, offsets, dirichlet_mask=None) -> ExactStencil:
+def build_exact_stencil(mesh, material, offsets, dirichlet_mask=None,
+                        timings=None, grid=None) -> ExactStencil:
     """Host-side: longdouble patch assembly -> row-class tables.
 
     ``mesh`` must be a uniform structured grid (meshGen product or
     equivalent): coords affine in (ix, iy) to f64 rounding. Raises
     ValueError when the preconditions fail (non-uniform geometry,
     class-inconsistent BC masks, grid smaller than the patch).
+    ``timings`` (optional dict) records per-phase host wall times.
+    ``grid`` (optional GridInfo) skips the O(n_elements) connectivity
+    reverification when the caller already detected the grid.
     """
+    import time as _time
+
     from fem_shell_tpu.mg import _grid_conn, detect_structured_grid
     from fem_shell_tpu.ops.elements import quad_shell_stiffness, tri_shell_stiffness
 
-    grid = detect_structured_grid(mesh)
+    _t = _time.perf_counter()
+
+    def _mark(name):
+        nonlocal _t
+        if timings is not None:
+            t = _time.perf_counter()
+            timings[name] = t - _t
+            _t = t
+
+    if grid is None:
+        grid = detect_structured_grid(mesh)
     if grid is None:
         raise ValueError("exact stencil requires a structured grid mesh")
     nxp, nyp = grid.nxp, grid.nyp
     if nxp < _P or nyp < _P:
         raise ValueError(f"grid {nyp}x{nxp} smaller than the {_P}x{_P} class patch")
+    _mark("grid_detect")
 
     coords = np.asarray(mesh.coords, np.float64).reshape(nyp, nxp, 3)
+    # uniformity check in plain f64 (the O(N) longdouble evaluation of
+    # the ideal grid cost seconds at 2304^2 and adds nothing: the f64
+    # evaluation's own rounding is ~3 ulp, far inside the 64-eps gate)
+    c64 = coords
+    ex64 = (c64[0, -1] - c64[0, 0]) / (nxp - 1)
+    ey64 = (c64[-1, 0] - c64[0, 0]) / (nyp - 1)
+    iy, ix = np.meshgrid(np.arange(nyp), np.arange(nxp), indexing="ij")
+    ideal64 = (
+        c64[0, 0][None, None, :]
+        + ix[:, :, None] * ex64[None, None, :]
+        + iy[:, :, None] * ey64[None, None, :]
+    )
+    scale = float(np.max(np.abs(coords)))
+    dev = float(np.max(np.abs(ideal64 - coords)))
+    if dev > 64 * np.finfo(np.float64).eps * max(scale, 1.0):
+        raise ValueError(f"mesh is not a uniform grid (max deviation {dev:.3e})")
     c00 = coords[0, 0].astype(LD)
     ex = (coords[0, -1].astype(LD) - c00) / LD(nxp - 1)
     ey = (coords[-1, 0].astype(LD) - c00) / LD(nyp - 1)
-    iy, ix = np.meshgrid(np.arange(nyp), np.arange(nxp), indexing="ij")
-    ideal = (
-        c00[None, None, :]
-        + ix[:, :, None].astype(LD) * ex[None, None, :]
-        + iy[:, :, None].astype(LD) * ey[None, None, :]
-    )
-    scale = float(np.max(np.abs(coords)))
-    dev = float(np.max(np.abs(ideal.astype(np.float64) - coords)))
-    if dev > 64 * np.finfo(np.float64).eps * max(scale, 1.0):
-        raise ValueError(f"mesh is not a uniform grid (max deviation {dev:.3e})")
+    _mark("ideal_check")
 
     mask = np.asarray(
         mesh.dirichlet_mask() if dirichlet_mask is None else dirichlet_mask, bool
@@ -159,6 +183,7 @@ def build_exact_stencil(mesh, material, offsets, dirichlet_mask=None) -> ExactSt
     mask_patch = mask[rep_y][:, rep_x]  # [P, P, 6]
     if not (mask == mask_patch[cy_idx][:, cx_idx]).all():
         raise ValueError("Dirichlet mask is not class-consistent with the patch")
+    _mark("mask_check")
 
     # ---- longdouble patch assembly --------------------------------------
     dm_ld, dp_ld = _material_ld(material.nu, material.em, material.thickness)
@@ -189,6 +214,7 @@ def build_exact_stencil(mesh, material, offsets, dirichlet_mask=None) -> ExactSt
     kmat[cdof, :] = LD(0)
     kmat[:, cdof] = LD(0)
     kmat[cdof, cdof] = LD(1)
+    _mark("patch_ld_assembly")
 
     # ---- extract class tables ------------------------------------------
     offs2d = _split_offsets(offsets, nxp)
@@ -218,6 +244,7 @@ def build_exact_stencil(mesh, material, offsets, dirichlet_mask=None) -> ExactSt
     rem = table - t0.astype(LD)
     t1 = rem.astype(np.float32)
     t2 = (rem - t1.astype(LD)).astype(np.float32)
+    _mark("table_extract")
     return ExactStencil(
         offsets=tuple(int(o) for o in offsets),
         offs2d=offs2d,

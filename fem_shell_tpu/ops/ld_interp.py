@@ -270,8 +270,8 @@ class LdFunction:
 
     def __call__(self, *args):
         key = tuple((np.shape(a), np.issubdtype(np.asarray(a).dtype, np.floating)) for a in args)
-        closed = self._cache.get(key)
-        if closed is None:
+        cached = self._cache.get(key)
+        if cached is None:
             example = [
                 jax.ShapeDtypeStruct(
                     np.shape(a),
@@ -280,9 +280,16 @@ class LdFunction:
                 for a in args
             ]
             closed = jax.make_jaxpr(self._fn)(*example)
-            self._cache[key] = closed
+            # fetch the jaxpr consts to host ONCE: np.asarray on a device
+            # constant is a remote round trip on the tunneled TPU
+            # platform — per-call fetches dominated the patch assembly
+            # (measured 15 s for 50 elements at r3)
+            consts_ld = [_to_ld(np.asarray(c)) for c in closed.consts]
+            cached = (closed, consts_ld)
+            self._cache[key] = cached
+        closed, consts_ld = cached
         ld_args = [_to_ld(a) for a in args]
-        out = _eval_jaxpr(closed.jaxpr, [_to_ld(np.asarray(c)) for c in closed.consts], *ld_args)
+        out = _eval_jaxpr(closed.jaxpr, consts_ld, *ld_args)
         if len(closed.jaxpr.outvars) == 1:
             return out[0]
         return out

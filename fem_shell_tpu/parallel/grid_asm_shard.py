@@ -266,15 +266,33 @@ class GridShardedDFShellSystem:
                 f"grid too small for {s} shards: {nyp} node rows need "
                 f">=1 element row on the last shard (R={r_rows})"
             )
-        self._row_starts = [min(i * r_rows, nyp) for i in range(s)] + [nyp]
+        # the guard above ensures i*r_rows < nyp for every shard, so the
+        # row starts need no clamping
+        self._row_starts = [i * r_rows for i in range(s)] + [nyp]
         self.sys = ShardedDFShellSystem(
             mesh, material, device_mesh, l_force=r_rows * nxp,
             use_pallas=use_pallas,
         )
         if self.mgp is not None:
+            # layout-contract checks: a misaligned partition would build a
+            # wrong-but-converging preconditioner, so these must survive
+            # python -O (ValueError, not assert)
             fine = self.mgp.levels[0]
-            assert fine.l == self.sys.l, (fine.l, self.sys.l)
-            assert tuple(fine.sys.offsets) == tuple(self.sys.offsets)
+            if fine.l != self.sys.l:
+                raise ValueError(
+                    f"MG fine partition l={fine.l} != df partition l={self.sys.l}"
+                )
+            if tuple(fine.sys.offsets) != tuple(self.sys.offsets):
+                raise ValueError("MG fine stencil offsets != df system offsets")
+            # the fine V-cycle level smooths directly on the grid-df hi
+            # part (see _solve_impl); the ShardedStencilSystem's own
+            # O(n_elements) assembly arrays are never consumed — drop
+            # them so the fine mesh isn't held twice at scale
+            fine.sys.tri_conn = None
+            fine.sys.tri_w = None
+            fine.sys.quad_conn = None
+            fine.sys.quad_w = None
+            fine.sys.coords = None
         dm64, dp64 = material.matrices()
         dm = jnp.asarray(dm64, jnp.float64)
         dp = jnp.asarray(dp64, jnp.float64)
@@ -429,7 +447,8 @@ class GridShardedDFShellSystem:
         sys = self.sys
         grid = self.grid
         n = grid.nyp * grid.nxp
-        st = build_exact_stencil(sys.mesh, sys.material, sys.offsets)
+        st = build_exact_stencil(sys.mesh, sys.material, sys.offsets,
+                                 grid=self.grid)
         cdf, _ = build_class_parts(st, n)
 
         free_flat = (

@@ -128,6 +128,115 @@ def test_coupled_demo_30_steps():
     assert corr > 0.999
 
 
+def _run_fixed_point_pair(order: int, steps: int = 12, period: float = 60.0):
+    """Two-participant serial-implicit pair with the dummy-fluid
+    structure (force = g(t), independent of displacement; second applies
+    a linear compliance). Without extrapolation every window burns 3
+    iterations: write-with-stale-force, write-with-true-force,
+    identical-write-converges (the forces-lag-one-iteration quirk,
+    fem-shell_precice.cpp:271-323). With order 2 the window starts from
+    predicted forces and a predicted convergence baseline, so smooth
+    forcing converges in 1-2 iterations. Returns total implicit
+    iterations on the second participant."""
+    import dataclasses
+
+    from fem_shell_tpu.coupling.api import (
+        Participant,
+        action_read_iteration_checkpoint,
+        action_write_iteration_checkpoint,
+    )
+
+    cfg = parse_config(CONFIG)
+    cfg = dataclasses.replace(
+        cfg,
+        scheme=dataclasses.replace(
+            cfg.scheme,
+            extrapolation_order=order,
+            acceleration=None,  # pure repeat-until-stable, like the dummy
+            max_time=steps * cfg.scheme.dt,
+        ),
+    )
+    ta, tb = InProcessTransport.pair()
+    grid = np.zeros((4, 2))
+    grid[:, 1] = np.arange(4)
+    counts = {"second": 0}
+
+    def first():  # FLUID analog: synthetic smooth force, ignores displacement
+        p = Participant("FLUID", cfg, transport=ta)
+        mid = p.get_mesh_id("Fluid_Nodes")
+        fid = p.get_data_id("Stresses", mid)
+        did = p.get_data_id("Displacements", mid)
+        vids = p.set_mesh_vertices(mid, grid)
+        p.initialize()
+        p.initialize_data()
+        t = 0
+        while p.is_coupling_ongoing():
+            if p.is_action_required(action_write_iteration_checkpoint()):
+                p.fulfilled_action(action_write_iteration_checkpoint())
+            f = np.full((4, 2), 1.0 + np.sin(t / period))
+            p.write_block_vector_data(fid, vids, f)
+            p.advance(cfg.scheme.dt)
+            p.read_block_vector_data(did, vids)
+            if p.is_action_required(action_read_iteration_checkpoint()):
+                p.fulfilled_action(action_read_iteration_checkpoint())
+            else:
+                t += 1
+        p.finalize()
+
+    def second():  # STRUCTURE analog: d = 0.5 * force (linear compliance)
+        p = Participant("STRUCTURE", cfg, transport=tb)
+        mid = p.get_mesh_id("Structure_Nodes")
+        fid = p.get_data_id("Stresses", mid)
+        did = p.get_data_id("Displacements", mid)
+        vids = p.set_mesh_vertices(mid, grid)
+        p.initialize()
+        p.initialize_data()
+        while p.is_coupling_ongoing():
+            if p.is_action_required(action_write_iteration_checkpoint()):
+                p.fulfilled_action(action_write_iteration_checkpoint())
+            f = p.read_block_vector_data(fid, vids)
+            p.write_block_vector_data(did, vids, 0.5 * f)
+            counts["second"] += 1
+            p.advance(cfg.scheme.dt)
+            if p.is_action_required(action_read_iteration_checkpoint()):
+                p.fulfilled_action(action_read_iteration_checkpoint())
+        p.finalize()
+
+    th = threading.Thread(target=first, daemon=True)
+    th.start()
+    second()
+    th.join(timeout=60)
+    return counts["second"]
+
+
+def test_extrapolation_order2_cuts_implicit_iterations():
+    """The reference config requests extrapolation-order 2
+    (precice_config.xml:77): with smooth forcing the 2nd-order
+    time-extrapolated window state must REDUCE total implicit
+    iterations vs order 0 (which burns 3 per window re-discovering the
+    new force through the read lag)."""
+    it0 = _run_fixed_point_pair(order=0)
+    it2 = _run_fixed_point_pair(order=2)
+    assert it2 < 0.8 * it0, (it0, it2)
+
+
+def test_extrapolation_keeps_tower_demo_correct():
+    """Extrapolation order 2 (the config default) must not change the
+    tower demo's converged physics or worsen its iteration count."""
+    import dataclasses
+
+    cfg2 = parse_config(CONFIG)
+    assert cfg2.scheme.extrapolation_order == 2  # reference dialect parsed
+    cfg0 = dataclasses.replace(
+        cfg2, scheme=dataclasses.replace(cfg2.scheme, extrapolation_order=0)
+    )
+    res0, _ = run_demo(max_timesteps=12, verbose=False, config=cfg0)
+    res2, _ = run_demo(max_timesteps=12, verbose=False, config=cfg2)
+    assert res0.timesteps == 12 and res2.timesteps == 12
+    assert len(res2.iterations) <= len(res0.iterations)
+    np.testing.assert_allclose(res2.solutions, res0.solutions, atol=1e-7)
+
+
 @pytest.mark.slow
 def test_coupled_demo_full_400_steps():
     """Full Test-H run: 400 timesteps, smooth oscillation
