@@ -64,6 +64,10 @@ class ShellMesh:
     boundary_nodes: np.ndarray = None  # [M,2] int32 rows (node, bc_id); from
     # GMSH point/line elements (doc/implementation.tex:103: lower-dimensional
     # msh elements define nodal boundary conditions)
+    node_dirichlet_mask: np.ndarray = None  # optional [N,6] bool of extra
+    # per-dof constraints OR-ed into dirichlet_mask() — BCs the reference's
+    # two DirichletBoundary groups cannot express (e.g. the Scordelis-Lo
+    # rigid-diaphragm ends, which pin u_x/u_z only; fem_shell_tpu/shells.py)
 
     def __post_init__(self):
         self.coords = np.asarray(self.coords, dtype=np.float64)
@@ -132,6 +136,8 @@ class ShellMesh:
             mask[ss, 0:3] = True
         if cl.size:
             mask[cl, :] = True
+        if self.node_dirichlet_mask is not None:
+            mask |= np.asarray(self.node_dirichlet_mask, bool)
         return mask
 
     def coupling_node_ids(self) -> np.ndarray:
@@ -229,7 +235,13 @@ def permute_nodes(mesh: ShellMesh, order: np.ndarray) -> ShellMesh:
     bnodes = mesh.boundary_nodes.copy()
     if len(bnodes):
         bnodes[:, 0] = rank[bnodes[:, 0]].astype(bnodes.dtype)
-    return ShellMesh(mesh.coords[order], mesh.elem_types, conn, mesh.boundary_sides, bnodes)
+    nmask = (
+        None
+        if mesh.node_dirichlet_mask is None
+        else np.asarray(mesh.node_dirichlet_mask, bool)[order]
+    )
+    return ShellMesh(mesh.coords[order], mesh.elem_types, conn, mesh.boundary_sides,
+                     bnodes, node_dirichlet_mask=nmask)
 
 
 def refine_uniform(mesh: ShellMesh, levels: int = 1) -> ShellMesh:

@@ -124,6 +124,71 @@ def test_e_tri_shell_ibeam():
     )
 
 
+def test_e_quad_shell_ibeam():
+    """Quad-4 I-beam (thesis golden doc/validation.tex:388-390: node 35 =
+    -0.0246001, 0.1373650, 0.2320180). As with the tri fixture the
+    shipped-code solution differs from the thesis table in sign
+    convention and ~1-3% in magnitude; we pin the code-faithful values
+    and check thesis magnitudes to 5%."""
+    mesh = mesh_from_quads(E.COORDS, E.QUADS, E.QUAD_BOUNDARY_SIDES)
+    u, _ = solve(mesh, E.FORCES, nu=0.25, em=10000, t=0.25)
+    np.testing.assert_allclose(
+        u[35, :3], [0.02527736, 0.13915961, -0.23064233], rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        u[44, :3], [0.02527736, -0.13915961, 0.23064233], rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.abs(u[35, :3]), [0.0246001, 0.1373650, 0.2320180], rtol=0.05
+    )
+
+
+def test_e_mixed_tri_quad_ibeam():
+    """Genuinely mixed tri+quad mesh pinned against the dense oracle:
+    the z=0 flanges keep the reference tri split while web + z=5
+    flanges use the fused quads — 32 tris + 24 quads in one assembly."""
+    from fem_shell_tpu.mesh import ShellMesh
+
+    types, conn, bsides = [], [], []
+    tri_pairs = {
+        1: lambda i: ([18 + i, 19 + i, i], [19 + i, i + 1, i]),
+        2: lambda i: ([i, i + 1, 27 + i], [i + 1, 28 + i, 27 + i]),
+    }
+    for p in range(5):
+        first = len(types)
+        if p in (0, 3, 4):
+            for i in range(8):
+                types.append(5)
+                conn.append(list(E._QUAD_PANELS[p](i)))
+            bsides.append([first, 3, 0])
+        else:
+            for i in range(8):
+                t1, t2 = tri_pairs[p](i)
+                types.append(3)
+                conn.append(t1 + [-1])
+                types.append(3)
+                conn.append(t2 + [-1])
+            bsides.append([first, 2, 0])
+    mesh = ShellMesh(
+        E.COORDS,
+        np.array(types, np.int32),
+        np.array(conn, np.int32),
+        np.array(bsides, np.int32),
+    )
+    assert len(mesh.tri) == 32 and len(mesh.quad) == 24
+    u_d, _ = solve(mesh, E.FORCES, nu=0.25, em=10000, t=0.25, method="dense")
+    u_p, _ = solve(mesh, E.FORCES, nu=0.25, em=10000, t=0.25, method="pcg")
+    np.testing.assert_allclose(u_p, u_d, atol=1e-10)
+    # pinned dense-oracle goldens (tri z=0 side stiffer than quad z=5 side,
+    # so the response is genuinely asymmetric between the force nodes)
+    np.testing.assert_allclose(
+        u_d[35, :3], [0.01584023, 0.08818383, -0.19393935], rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        u_d[44, :3], [0.02568137, -0.14142868, 0.19104298], rtol=1e-6
+    )
+
+
 # ----------------------------------------------------------------------
 # Test F — convergence study, 1:5 plate (validation.tex:470-494)
 # ----------------------------------------------------------------------
