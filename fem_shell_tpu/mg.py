@@ -701,6 +701,18 @@ class MultigridShellSystem:
 
     def _vcycle(self, levels, li: int, b):
         lvl = levels[li]
+        if (
+            li == 0
+            and lvl.cparts is not None
+            and self.use_pallas
+            and lvl.values is None
+        ):
+            # matrix-free class fine level on a real accelerator: run the
+            # whole level visit in the persistent padded kernel layout —
+            # the per-sweep flat<->grid relayouts otherwise cost ~4
+            # full-vector copies per smoother application (~70% of
+            # measured level-0 time at 1024^2, r3 probe)
+            return self._vcycle_fine_pad(levels, b)
         if lvl.chol is not None:
             # device-resident coarse solve: Cholesky of the diagonally
             # scaled dense operator (scaling tames the drilling-DOF
@@ -731,6 +743,81 @@ class MultigridShellSystem:
         x = x + _from_grid(_prolong(_to_grid(ec, nxt)), lvl) * lvl.free_t
         x = self._smooth(lvl, x, b, self.nu_smooth)
         return x
+
+    def _vcycle_fine_pad(self, levels, b):
+        """Level-0 V-cycle segment in the padded pallas layout
+        (ops/pallas_class.py pad-grid machinery): pad in once, smooth /
+        residual / correct / smooth with zero relayout copies, unpad
+        once. Identical math to the flat path (zero-ring vs wrap-ring
+        out-of-range convention — both exact, class_matvec.py)."""
+        from fem_shell_tpu.ops.pallas_class import (
+            _PadGridSpec,
+            class_matvec_f32_pad,
+            class_smooth_f32_pad,
+            from_pad_grid,
+            pad_core,
+            to_pad_grid,
+        )
+
+        lvl = levels[0]
+        cp = lvl.cparts
+        pg = _PadGridSpec(lvl.nyp, lvl.nxp)
+        nyp, nxp, q, hr = pg.nyp, pg.nxp, pg.q, pg.hr
+        omega = self.omega if lvl.omega is None else lvl.omega
+
+        b2 = to_pad_grid(pg, b)
+        b_c = pad_core(pg, b2)
+        wd_c = pad_core(pg, to_pad_grid(pg, lvl.inv_diag))
+
+        def smooth(x2):
+            if self.smoother == "chebyshev" and lvl.lam is not None:
+                return self._smooth_cheby_pad(cp, pg, x2, b_c, wd_c, lvl)
+            return class_smooth_f32_pad(cp, pg, x2, b_c, wd_c * omega,
+                                        self.nu_smooth)
+
+        x2 = smooth(jnp.zeros_like(b2))
+        y = class_matvec_f32_pad(cp, pg, x2)
+        r_c = b_c - y
+        rg = r_c.reshape(6, pg.pyp_pad, pg.pxq)[:, 1 : 1 + nyp, 1 : 1 + nxp]
+        nxt = levels[1]
+        rc = _from_grid(_restrict(rg), nxt) * nxt.free_t
+        ec = self._vcycle(levels, 1, rc)
+        corr = _prolong(_to_grid(ec, nxt))
+        n = nyp * nxp
+        free_g = lvl.free_t[:, :n].reshape(6, nyp, nxp)
+        corr_q = jnp.pad(corr * free_g, ((0, 0), (0, 0), (1, pg.pxq - nxp - 1)))
+        x2 = x2.at[:6, hr + q : hr + q + nyp * q, :].add(
+            corr_q.reshape(6, nyp * q, 128)
+        )
+        x2 = smooth(x2)
+        return from_pad_grid(pg, x2, lvl.npad)
+
+    def _smooth_cheby_pad(self, cp, pg, x2, b_c, wd_c, lvl):
+        """Chebyshev smoothing in the padded layout (same recurrence as
+        _smooth_cheby; all vector ops on the compact core)."""
+        from fem_shell_tpu.ops.pallas_class import class_matvec_f32_pad
+
+        deg = self.nu_smooth
+        lam = lvl.lam.astype(jnp.float32) * 1.05
+        lmin = 0.25 * lam
+        theta = 0.5 * (lam + lmin)
+        delta = 0.5 * (lam - lmin)
+        sigma = theta / delta
+        rho = 1.0 / sigma
+
+        def add_core(a, p_c):
+            return a.at[:6, pg.hr : pg.hr + pg.nr, :].add(p_c)
+
+        z = wd_c * (b_c - class_matvec_f32_pad(cp, pg, x2))
+        p = z / theta
+        x2 = add_core(x2, p)
+        for _ in range(deg - 1):
+            rho_new = 1.0 / (2.0 * sigma - rho)
+            z = wd_c * (b_c - class_matvec_f32_pad(cp, pg, x2))
+            p = (rho_new * rho) * p + (2.0 * rho_new / delta) * z
+            x2 = add_core(x2, p)
+            rho = rho_new
+        return x2
 
     def _solve_impl(self, levels, forces_t, rtol, maxiter):
         lvl = levels[0]

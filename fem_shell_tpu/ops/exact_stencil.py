@@ -90,6 +90,20 @@ def _material_ld(nu: float, em: float, thickness: float):
     return dm, dp
 
 
+_KERNEL_LD_CACHE: dict = {}
+
+
+def _cached_kernel_ld(kern, thickness: float):
+    """LdFunction per (kernel, thickness): rebuilds re-use the traced
+    jaxpr and the gather/scatter index maps instead of re-tracing."""
+    key = (kern, thickness)
+    fn = _KERNEL_LD_CACHE.get(key)
+    if fn is None:
+        fn = ld_function(lambda p, dm, dp: kern(p, dm, dp, thickness))
+        _KERNEL_LD_CACHE[key] = fn
+    return fn
+
+
 @dataclasses.dataclass
 class ExactStencil:
     """Triple-f32 true stencil tables + class maps for one structured
@@ -197,9 +211,7 @@ def build_exact_stencil(mesh, material, offsets, dirichlet_mask=None,
     ).reshape(_P * _P, 3)
 
     kern = tri_shell_stiffness if m == 3 else quad_shell_stiffness
-    kernel_ld = ld_function(
-        lambda p, dm, dp: kern(p, dm, dp, float(material.thickness))
-    )
+    kernel_ld = _cached_kernel_ld(kern, float(material.thickness))
     ndof = _P * _P * 6
     kmat = np.zeros((ndof, ndof), LD)
     for e in range(len(conn)):

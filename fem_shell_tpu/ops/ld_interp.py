@@ -45,44 +45,92 @@ def _to_ld(x):
 # ----------------------------------------------------------------------
 
 
-def _gather_map(eqn, operand_shape):
-    """Flat source index per output element (int64), via running the real
-    gather on an arange operand. Assumes in-bounds indices (element
-    kernels index statically)."""
-    idx = np.arange(int(np.prod(operand_shape)), dtype=np.int64).reshape(operand_shape)
-    (indices,) = [v for v in eqn.invars[1:]]
-    return idx, indices
+# index maps are DATA-INDEPENDENT (they depend only on shapes, dimension
+# numbers, and the index operand values), so they are computed once per
+# structural signature and cached as host numpy. Without the cache, every
+# interpreted element re-ran ~10 eager gather/scatter ops on the default
+# backend — on the tunneled remote TPU that is ~10 round trips per
+# element, which made the 50-element patch assembly cost ~14 s/rebuild
+# (r3 profile) instead of ~0.7 s.
+_INDEX_MAP_CACHE: dict = {}
+
+
+class _cpu_default_device:
+    """Context: run the eager index-map primitives on the host CPU
+    backend when one exists — on the tunneled remote TPU platform each
+    eager gather/scatter is otherwise a fresh remote compile (~6 s cold)
+    plus a round trip."""
+
+    def __enter__(self):
+        try:
+            self._ctx = jax.default_device(jax.devices("cpu")[0])
+        except Exception:
+            self._ctx = None
+        if self._ctx is not None:
+            self._ctx.__enter__()
+        return self
+
+    def __exit__(self, *exc):
+        if self._ctx is not None:
+            self._ctx.__exit__(*exc)
+        return False
+
+
+def _map_key(kind, eqn, operand_shape, indices):
+    return (
+        kind,
+        operand_shape,
+        repr(eqn.params.get("dimension_numbers")),
+        tuple(eqn.params.get("slice_sizes", ())),
+        repr(eqn.params.get("mode", None)),
+        indices.shape,
+        indices.tobytes(),
+    )
 
 
 def _apply_gather(eqn, operand, indices):
-    idx = np.arange(operand.size, dtype=np.int64).reshape(operand.shape)
-    out_map = jax.lax.gather(
-        jnp.asarray(idx),
-        jnp.asarray(indices),
-        dimension_numbers=eqn.params["dimension_numbers"],
-        slice_sizes=eqn.params["slice_sizes"],
-        mode=eqn.params.get("mode", None),
-        fill_value=None,
-    )
-    out_map = np.asarray(out_map)
+    indices = np.asarray(indices)
+    key = _map_key("g", eqn, operand.shape, indices)
+    out_map = _INDEX_MAP_CACHE.get(key)
+    if out_map is None:
+        idx = np.arange(operand.size, dtype=np.int64).reshape(operand.shape)
+        with _cpu_default_device():
+            out_map = np.asarray(
+                jax.lax.gather(
+                    jnp.asarray(idx),
+                    jnp.asarray(indices),
+                    dimension_numbers=eqn.params["dimension_numbers"],
+                    slice_sizes=eqn.params["slice_sizes"],
+                    mode=eqn.params.get("mode", None),
+                    fill_value=None,
+                )
+            )
+        _INDEX_MAP_CACHE[key] = out_map
     return operand.reshape(-1)[out_map]
 
 
 def _apply_scatter(eqn, operand, indices, updates):
-    # run the real scatter with sentinel -1 operand and arange updates:
-    # the result tells, per output position, which update lands there
-    sentinel = jnp.full(operand.shape, -1, jnp.int64)
-    upd_ids = jnp.arange(updates.size, dtype=jnp.int64).reshape(updates.shape)
-    out_map = jax.lax.scatter(
-        sentinel,
-        jnp.asarray(indices),
-        upd_ids,
-        dimension_numbers=eqn.params["dimension_numbers"],
-        indices_are_sorted=eqn.params.get("indices_are_sorted", False),
-        unique_indices=eqn.params.get("unique_indices", False),
-        mode=eqn.params.get("mode", None),
-    )
-    out_map = np.asarray(out_map).reshape(-1)
+    # the real scatter on a sentinel -1 operand and arange updates tells,
+    # per output position, which update lands there
+    indices = np.asarray(indices)
+    key = _map_key("s", eqn, operand.shape, indices) + (updates.shape,)
+    out_map = _INDEX_MAP_CACHE.get(key)
+    if out_map is None:
+        with _cpu_default_device():
+            sentinel = jnp.full(operand.shape, -1, jnp.int64)
+            upd_ids = jnp.arange(updates.size, dtype=jnp.int64).reshape(updates.shape)
+            out_map = np.asarray(
+                jax.lax.scatter(
+                    sentinel,
+                    jnp.asarray(indices),
+                    upd_ids,
+                    dimension_numbers=eqn.params["dimension_numbers"],
+                    indices_are_sorted=eqn.params.get("indices_are_sorted", False),
+                    unique_indices=eqn.params.get("unique_indices", False),
+                    mode=eqn.params.get("mode", None),
+                )
+            ).reshape(-1)
+        _INDEX_MAP_CACHE[key] = out_map
     res = operand.reshape(-1).copy()
     mask = out_map >= 0
     res[mask] = updates.reshape(-1)[out_map[mask]]

@@ -155,6 +155,176 @@ def _kernel(offsets, k, r_tile, hr, nz, df, x_hbm, c_ref, out_ref, x_vmem, sem):
             out_ref[1, a, :, :] = acc_l
 
 
+# ----------------------------------------------------------------------
+# padded-grid-resident evaluation: the V-cycle's level-0 smoother calls
+# the matvec ~7x per cycle, and the flat<->grid relayout around each
+# pallas call (wrap-pad, lane-pad, halo-pad, unpad) costs ~4 full-vector
+# copies per application — measured 3.6 ms/matvec at 1024^2 against a
+# ~0.9 ms kernel. Keeping x/b/r in ONE persistent kernel layout for the
+# whole level visit removes all per-sweep copies:
+#
+# - layout [8, nr + 2hr, 128]: grid node (gy, gx) lives at flat position
+#   (1+gy)*pxq + (1+gx) of a [pyp', pxq] zero-ringed grid (pyp' = pyp
+#   padded to 8 rows, pxq = pxp padded to 128 lanes), flattened to
+#   128-lane rows with hr halo rows above/below;
+# - the ring is ZERO instead of wrapped: the band-delta cancellation
+#   identity holds for any ring values as long as interior and bands
+#   read the SAME array (class_matvec.py docstring), and zeros survive
+#   smoother sweeps for free because omega*inv_diag is zero there;
+# - r_tile = 8*q (q = pxq/128) makes nf2 = pyp'*pxq an exact multiple of
+#   the tile, so [6, nr*128] <-> [6, pyp', pxq] are pure reshapes — grid
+#   views for band folds and MG transfers cost nothing.
+# ----------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+class _PadGridSpec:
+    """Static layout parameters for one (nyp, nxp) level grid."""
+
+    def __init__(self, nyp: int, nxp: int):
+        self.nyp, self.nxp = nyp, nxp
+        self.pyp, self.pxp = nyp + 2, nxp + 2
+        self.pxq = _ceil_to(self.pxp, LANES)
+        self.q = self.pxq // LANES
+        self.pyp_pad = _ceil_to(self.pyp, 8)
+        self.nf2 = self.pyp_pad * self.pxq
+        self.nr = self.nf2 // LANES
+        self.r_tile = 8 * self.q
+        halo = self.pxq + 1
+        self.hr = _ceil_to(_ceil_to(halo, LANES) // LANES + 1, 8)
+
+    def offsets_flat(self, offs2d):
+        return tuple(int(dy) * self.pxq + int(dx) for dy, dx in offs2d)
+
+
+def to_pad_grid(pg: "_PadGridSpec", x_flat, n_channels: int = 8):
+    """[C<=6, npad] flat vector -> [n_channels, nr + 2hr, 128] kernel
+    layout (zero ring, zero halo, zero channel padding)."""
+    c = x_flat.shape[0]
+    xg = x_flat[:, : pg.nyp * pg.nxp].reshape(c, pg.nyp, pg.nxp)
+    xq = jnp.pad(xg, ((0, 0), (0, 0), (1, pg.pxq - pg.nxp - 1)))
+    xrows = xq.reshape(c, pg.nyp * pg.q, LANES)
+    buf = jnp.zeros((n_channels, pg.nr + 2 * pg.hr, LANES), jnp.float32)
+    return buf.at[:c, pg.hr + pg.q : pg.hr + pg.q + pg.nyp * pg.q, :].set(xrows)
+
+
+def from_pad_grid(pg: "_PadGridSpec", x2, npad: int):
+    """Inverse of to_pad_grid: -> [6, npad] flat vector."""
+    core = x2[:6, pg.hr + pg.q : pg.hr + pg.q + pg.nyp * pg.q, :]
+    xq = core.reshape(6, pg.nyp, pg.pxq)[:, :, 1 : 1 + pg.nxp]
+    flat = xq.reshape(6, pg.nyp * pg.nxp)
+    return jnp.pad(flat, ((0, 0), (0, npad - pg.nyp * pg.nxp)))
+
+
+def pad_grid_view(pg: "_PadGridSpec", x2):
+    """Zero-copy [6, pyp_pad, pxq] grid view of the padded layout —
+    index (iy, ix) matches the wrap-padded array of the flat path for
+    iy < pyp, ix < pxp (ring values are zero here, wrapped there; both
+    conventions are exact, see module docstring)."""
+    return x2[:6, pg.hr : pg.hr + pg.nr, :].reshape(6, pg.pyp_pad, pg.pxq)
+
+
+def class_matvec_f32_pad(cp, pg: "_PadGridSpec", x2, interpret: bool = False):
+    """y2 = A_hi x2 entirely in the padded kernel layout: Pallas interior
+    + XLA band-delta folds on grid views. Ring/halo rows of y2 carry
+    garbage from the interior stencil — harmless: every consumer either
+    multiplies by a ring-zero factor (smoother wd) or reads interior
+    grid views only (transfers, from_pad_grid)."""
+    offsets = pg.offsets_flat(cp.offs2d)
+    nz = tuple(sorted(cp.nzmask))
+
+    def c36(t):
+        return jnp.transpose(t, (1, 2, 0)).reshape(36, len(offsets))
+
+    ctab = jnp.stack([c36(cp.ih), jnp.zeros_like(c36(cp.ih))])
+    kernel = functools.partial(
+        _kernel, offsets, len(offsets), pg.r_tile, pg.hr, nz, False
+    )
+    y2 = pl.pallas_call(
+        kernel,
+        grid=(pg.nr // pg.r_tile,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(
+                (2, 36, len(offsets)),
+                lambda i: (_z(), _z(), _z()),
+                memory_space=pltpu.SMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 6, pg.r_tile, LANES),
+            lambda i: (_z(), _z(), i, _z()),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((1, 6, pg.nr, LANES), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, 8, pg.r_tile + 2 * pg.hr, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(x2, ctab)[0]
+
+    # band-delta folds on grid views (O(boundary) work; each .at update
+    # compiles to an in-place dynamic-update-slice on the dying buffer)
+    xp = pad_grid_view(pg, x2)
+    yv = y2.reshape(6, pg.pyp_pad, pg.pxq)
+    nyp, nxp = pg.nyp, pg.nxp
+    for bh, r0, kind in (
+        (cp.bt_h, 0, "row"),
+        (cp.bb_h, nyp - 2, "row"),
+        (cp.bl_h, 0, "col"),
+        (cp.br_h, nxp - 2, "col"),
+    ):
+        ln = nxp if kind == "row" else nyp
+        yb = jnp.zeros((6, 2, ln), jnp.float32)
+        for s, s2 in enumerate(cp.offs2d):
+            xs = _band_x_pad(xp, s2, r0, kind, nyp, nxp)
+            for b in range(6):
+                yb = yb + bh[s, :, b] * xs[b][None]
+        if kind == "row":
+            sl = (slice(None), slice(1 + r0, 3 + r0), slice(1, 1 + nxp))
+            yv = yv.at[sl].add(yb)
+        else:
+            sl = (slice(None), slice(1, 1 + nyp), slice(1 + r0, 3 + r0))
+            yv = yv.at[sl].add(yb.transpose(0, 2, 1))
+    # COMPACT [6, nr, 128] result (ring positions carry stencil garbage;
+    # consumers mask it or read interior views only)
+    return yv.reshape(6, pg.nr, LANES)
+
+
+def _band_x_pad(xp, s2, r0: int, kind: str, nyp: int, nxp: int):
+    """pallas-layout sibling of class_matvec._band_x: the band's neighbor
+    block [6, 2, L] from the [6, pyp_pad, pxq] grid view (same (iy, ix)
+    indexing as the wrap-padded array; ring reads see zeros)."""
+    dy, dx = s2
+    if kind == "row":
+        return jax.lax.slice(
+            xp, (0, 1 + dy + r0, 1 + dx), (6, 3 + dy + r0, 1 + dx + nxp)
+        )
+    blk = jax.lax.slice(
+        xp, (0, 1 + dy, 1 + dx + r0), (6, 1 + dy + nyp, 3 + dx + r0)
+    )
+    return blk.transpose(0, 2, 1)
+
+
+def pad_core(pg: "_PadGridSpec", x2):
+    """COMPACT [6, nr, 128] core view of the carry layout."""
+    return x2[:6, pg.hr : pg.hr + pg.nr, :]
+
+
+def class_smooth_f32_pad(cp, pg: "_PadGridSpec", x2, b_c, wd_c, sweeps: int,
+                         interpret: bool = False):
+    """``sweeps`` damped-Jacobi sweeps x <- x + wd * (b - A x) on the
+    persistent carry layout. ``b_c``/``wd_c`` are COMPACT [6, nr, 128]
+    (wd = omega * inv_diag with zeros on ring positions, which keeps the
+    carry's zero ring invariant for free — and the x update an in-place
+    dynamic-update-slice)."""
+    for _ in range(sweeps):
+        y = class_matvec_f32_pad(cp, pg, x2, interpret=interpret)
+        x2 = x2.at[:6, pg.hr : pg.hr + pg.nr, :].add(wd_c * (b_c - y))
+    return x2
+
+
 def _grid_params(nf: int, offsets: Sequence[int], r_tile: int = 128):
     """(npad, nr, r, hr) for a flat length-``nf`` padded-grid vector.
 

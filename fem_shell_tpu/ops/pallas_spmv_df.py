@@ -99,7 +99,7 @@ def _acc4_add(acc, big, mids, small):
     return (s0, s1, s2, a3 + c3)
 
 
-def _kernel(offsets, k, r_tile, hr, x_hbm, vh_ref, vl_ref, out_ref, x_vmem, sem, tiled=True, tf=False):
+def _kernel(offsets, k, r_tile, hr, x_hbm, vh_ref, vl_ref, out_ref, x_vmem, sem, tiled=True, tf=False, kahan=False):
     i = pl.program_id(0)
     n_tiles = pl.num_programs(0)
     win_rows = r_tile + 2 * hr
@@ -169,10 +169,24 @@ def _kernel(offsets, k, r_tile, hr, x_hbm, vh_ref, vl_ref, out_ref, x_vmem, sem,
                     continue
                 p, pe = _two_prod(vh, xh)
                 pe = pe + (vh * xl + vl * xh)
+                if kahan:
+                    # Kahan-style: exact two_sum for the main channel,
+                    # plain f32 error channel (no per-term renorm). The
+                    # error channel's own rounding is 2nd-order
+                    # (~2^-24 of the ~2^-24-level terms) — same
+                    # 2^-45-class entrywise contract, ~8 fewer VPU ops
+                    # per term on the hot accumulation path.
+                    sh, se = _two_sum(acc_h, p)
+                    acc_h = sh
+                    acc_l = acc_l + (se + pe)
+                    continue
                 # renormalized df add of (p, pe) into (acc_h, acc_l)
                 sh, se = _two_sum(acc_h, p)
                 se = se + (acc_l + pe)
                 acc_h, acc_l = _two_sum(sh, se)
+        if kahan and not tf:
+            # one final renormalization so y is a proper df pair
+            acc_h, acc_l = _two_sum(acc_h, acc_l)
         if tf:
             s0, s1, s2, s3 = acc
             h1, c1 = _two_sum(s0, s1)
@@ -184,12 +198,13 @@ def _kernel(offsets, k, r_tile, hr, x_hbm, vh_ref, vl_ref, out_ref, x_vmem, sem,
 
 def stencil_spmv_pallas_df(
     vh_tiled, vl_tiled, x: DF, offsets: Sequence[int], interpret: bool = False,
-    tf: bool = False,
+    tf: bool = False, kahan: bool = False,
 ) -> DF:
     """y = A x with A the tile-major df pair (prepare_tiled_values_df)
     and x, y df vectors [6, Npad]. ``tf=True`` switches to the 4-level
     compensated accumulator (~2^-70 accumulation error) for
-    iterative-refinement residual evaluation."""
+    iterative-refinement residual evaluation; ``kahan=True`` uses the
+    cheaper Kahan-channel accumulation (same 2^-45-class contract)."""
     ntiles, rows36k, r_tile, _ = vh_tiled.shape
     offsets = tuple(int(o) for o in offsets)
     k = len(offsets)
@@ -211,7 +226,7 @@ def stencil_spmv_pallas_df(
         axis=0,
     )
 
-    kernel = functools.partial(_kernel, offsets, k, r_tile, hr, tf=tf)
+    kernel = functools.partial(_kernel, offsets, k, r_tile, hr, tf=tf, kahan=kahan)
     y2 = pl.pallas_call(
         kernel,
         grid=(ntiles,),

@@ -163,6 +163,72 @@ def main():
     with jax.default_matmul_precision("highest"):
         timed("df/conv3-structure", conv3, kern_j, (x0df.hi, x0df.lo))
 
+    # wrapper-vs-kernel split: time the raw pallas_call on a PRE-BUILT
+    # padded input (isolates the pad/reshape/unpad wrapper copies)
+    try:
+        from fem_shell_tpu.ops import pallas_class as pc_mod
+
+        pyp, pxp = nyp + 2, nxp + 2
+        pxq = -(-pxp // 128) * 128
+        nf2 = pyp * pxq
+        offs_flat = tuple(int(dy) * pxq + int(dx) for dy, dx in cp.offs2d)
+        npad2, nr2, r_tile, hr = pc_mod._grid_params(nf2, offs_flat)
+        x2 = jnp.zeros((8, nr2 + 2 * hr, 128), jnp.float32) + 1e-3
+
+        import functools as ft
+
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        ctab = jnp.stack([
+            jnp.transpose(cp.ih, (1, 2, 0)).reshape(36, len(offs_flat)),
+            jnp.zeros((36, len(offs_flat)), jnp.float32),
+        ])
+        kern_fn = ft.partial(pc_mod._kernel, offs_flat, len(offs_flat), r_tile,
+                             hr, tuple(sorted(cp.nzmask)), False)
+
+        def raw_call(x2_, ctab_):
+            return pl.pallas_call(
+                kern_fn,
+                grid=(nr2 // r_tile,),
+                in_specs=[
+                    pl.BlockSpec(memory_space=pltpu.ANY),
+                    pl.BlockSpec((2, 36, len(offs_flat)),
+                                 lambda i: (pc_mod._z(), pc_mod._z(), pc_mod._z()),
+                                 memory_space=pltpu.SMEM),
+                ],
+                out_specs=pl.BlockSpec(
+                    (1, 6, r_tile, 128),
+                    lambda i: (pc_mod._z(), pc_mod._z(), i, pc_mod._z()),
+                    memory_space=pltpu.VMEM,
+                ),
+                out_shape=jax.ShapeDtypeStruct((1, 6, nr2, 128), jnp.float32),
+                scratch_shapes=[
+                    pltpu.VMEM((2, 8, r_tile + 2 * hr, 128), jnp.float32),
+                    pltpu.SemaphoreType.DMA((2,)),
+                ],
+            )(x2_, ctab_)
+
+        @jax.jit
+        def raw_chain(x2_, ctab_):
+            def body(i, c):
+                y = raw_call(c, ctab_)[0]  # [6, nr2, 128]
+                s = jnp.max(jnp.abs(y)) + 1e-30
+                c = c.at[:6, hr:hr + nr2, :].set(y / s)
+                return c
+
+            return jnp.sum(jax.lax.fori_loop(0, ITERS, body, x2_))
+
+        float(raw_chain(x2, ctab))
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(raw_chain(x2, ctab))
+            ts.append((time.perf_counter() - t0) / ITERS * 1e3)
+        print(f"# f32/raw-kernel-only          {min(ts):8.3f} ms", flush=True)
+    except Exception as e:
+        print(f"# f32/raw-kernel-only FAILED {type(e).__name__}: {e}", flush=True)
+
     # per-op floor probe: tiny-level matvec chained 100x
     small = jnp.zeros((6, 33 * 33), jnp.float32) + 1e-3
 
