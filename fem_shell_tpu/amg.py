@@ -313,7 +313,21 @@ class AMGShellSystem:
         # fine operator via the gather-mode assembler (k_max=1 forces the
         # general path even for stencil-addressable meshes)
         self.sys = LargeShellSystem(mesh, material, dtype=jnp.float64, reorder=reorder)
-        vals = np.asarray(self.sys.assemble(), np.float64)
+        # fine f64 assembly on the HOST CPU backend when the default
+        # device is an accelerator: the hierarchy build consumes vals as
+        # host numpy anyway, and the full-height f64 gather-mode scatter
+        # OOMs the remote TPU's HBM at ~1M DOF (r3: 16.08G of 15.75G) —
+        # setup is the documented host-bound stage of AMG, the df SOLVE
+        # stays on the accelerator
+        try:
+            cpu0 = jax.devices("cpu")[0]
+        except Exception:
+            cpu0 = None
+        if cpu0 is not None and jax.devices()[0].platform != "cpu":
+            with jax.default_device(cpu0):
+                vals = np.asarray(self.sys.assemble(), np.float64)
+        else:
+            vals = np.asarray(self.sys.assemble(), np.float64)
         pat = self.sys.pattern
         n = mesh.n_nodes
         if pat.offsets is not None:

@@ -752,9 +752,22 @@ class MultigridShellSystem:
         out-of-range convention — both exact, class_matvec.py)."""
         from fem_shell_tpu.ops.pallas_class import (
             _PadGridSpec,
+            from_pad_grid,
+            to_pad_grid,
+        )
+
+        lvl = levels[0]
+        pg = _PadGridSpec(lvl.nyp, lvl.nxp)
+        x2 = self._vcycle_pad_carry(levels, to_pad_grid(pg, b))
+        return from_pad_grid(pg, x2, lvl.npad)
+
+    def _vcycle_pad_carry(self, levels, b2):
+        """Carry-in/carry-out core of the pad-layout fine V-cycle
+        (``b2`` [8, nr+2hr, 128] with clean ring; returns x2 carry)."""
+        from fem_shell_tpu.ops.pallas_class import (
+            _PadGridSpec,
             class_matvec_f32_pad,
             class_smooth_f32_pad,
-            from_pad_grid,
             pad_core,
             to_pad_grid,
         )
@@ -765,7 +778,6 @@ class MultigridShellSystem:
         nyp, nxp, q, hr = pg.nyp, pg.nxp, pg.q, pg.hr
         omega = self.omega if lvl.omega is None else lvl.omega
 
-        b2 = to_pad_grid(pg, b)
         b_c = pad_core(pg, b2)
         wd_c = pad_core(pg, to_pad_grid(pg, lvl.inv_diag))
 
@@ -789,8 +801,7 @@ class MultigridShellSystem:
         x2 = x2.at[:6, hr + q : hr + q + nyp * q, :].add(
             corr_q.reshape(6, nyp * q, 128)
         )
-        x2 = smooth(x2)
-        return from_pad_grid(pg, x2, lvl.npad)
+        return smooth(x2)
 
     def _smooth_cheby_pad(self, cp, pg, x2, b_c, wd_c, lvl):
         """Chebyshev smoothing in the padded layout (same recurrence as
@@ -926,13 +937,43 @@ class MultigridShellSystem:
     def _solve_df_impl_class(self, levels, forces_t64, rtol, maxiter):
         """df outer CG over the matrix-free class-table operator
         (ops/class_matvec.py): no fine-level operator storage at all —
-        the 10M-element configuration's production solve."""
+        the 10M-element configuration's production solve. On real
+        accelerators the WHOLE CG runs in the padded kernel layout
+        (ops/pallas_class.py): vectors, matvec, and the fine V-cycle
+        level share one layout, so the per-iteration relayout copies of
+        the flat path disappear."""
         from fem_shell_tpu.ops.class_matvec import class_matvec_df
         from fem_shell_tpu.ops.df import DF, df_from_f64, df_to_f64
         from fem_shell_tpu.solver_df import pcg_df
 
         fine = levels[0]
         b = df_from_f64(forces_t64 * fine.free_t.astype(jnp.float64))
+        if self.use_pallas:
+            from fem_shell_tpu.ops.pallas_class import (
+                _PadGridSpec,
+                class_matvec_df_pad,
+                from_pad_grid,
+                pad_embed,
+                pad_ring_mask,
+                to_pad_grid,
+            )
+
+            pg = _PadGridSpec(fine.nyp, fine.nxp)
+            ring = pad_ring_mask(pg)
+            b2 = DF(to_pad_grid(pg, b.hi), to_pad_grid(pg, b.lo))
+
+            def mv(x):
+                y = class_matvec_df_pad(fine.cparts, pg, x, ring)
+                return DF(pad_embed(pg, y.hi), pad_embed(pg, y.lo))
+
+            def prec(r):
+                z2 = self._vcycle_pad_carry(levels, r.hi)
+                return DF(z2, jnp.zeros_like(z2))
+
+            res = pcg_df(mv, b2, rtol=rtol, maxiter=maxiter, apply_prec=prec)
+            x64 = from_pad_grid(pg, res.x.hi, fine.npad).astype(jnp.float64) + \
+                from_pad_grid(pg, res.x.lo, fine.npad).astype(jnp.float64)
+            return x64, res.iters, res.residual
         mv = lambda x: class_matvec_df(fine.cparts, x)  # noqa: E731
 
         def prec(r: "DF"):
@@ -1093,6 +1134,38 @@ class MultigridShellSystem:
             from fem_shell_tpu.ops.class_matvec import class_matvec_df
 
             fine = levels[0]
+            if self.use_pallas:
+                # pad-layout CG (see _solve_df_impl_class); b arrives as
+                # a flat DF and the result returns flat for the
+                # refinement loop's residual machinery
+                from fem_shell_tpu.ops.pallas_class import (
+                    _PadGridSpec,
+                    class_matvec_df_pad,
+                    from_pad_grid,
+                    pad_embed,
+                    pad_ring_mask,
+                    to_pad_grid,
+                )
+
+                pg = _PadGridSpec(fine.nyp, fine.nxp)
+                ring = pad_ring_mask(pg)
+                b2 = DF(to_pad_grid(pg, b.hi), to_pad_grid(pg, b.lo))
+
+                def mv(x):
+                    y = class_matvec_df_pad(fine.cparts, pg, x, ring)
+                    return DF(pad_embed(pg, y.hi), pad_embed(pg, y.lo))
+
+                def prec(r):
+                    z2 = self._vcycle_pad_carry(levels, r.hi)
+                    return DF(z2, jnp.zeros_like(z2))
+
+                res = pcg_df(mv, b2, rtol=rtol, maxiter=maxiter,
+                             apply_prec=prec)
+                x_flat = DF(
+                    from_pad_grid(pg, res.x.hi, fine.npad),
+                    from_pad_grid(pg, res.x.lo, fine.npad),
+                )
+                return x_flat, res.iters, res.residual
             mv = lambda x: class_matvec_df(fine.cparts, x)  # noqa: E731
 
             def prec(r):

@@ -71,37 +71,9 @@ def _two_prod(a, b):
     return p, ((ah * bh - p) + ah * bl + al * bh) + al * bl
 
 
-def _kernel(offsets, k, r_tile, hr, nz, df, x_hbm, c_ref, out_ref, x_vmem, sem):
-    """One grid step: DMA an x window, accumulate the scalar stencil.
-
-    ``nz``: static tuple of (a, b, s) triples actually accumulated.
-    ``df``: True = df x/y channels + EFT accumulation; False = plain f32.
-    ``c_ref``: SMEM [2, 36, K] (hi, lo) when df else [1, 36, K].
-    """
-    i = pl.program_id(0)
-    n_tiles = pl.num_programs(0)
-    win_rows = r_tile + 2 * hr
-    two = jnp.int32(2)  # avoid int64 promotion under x64
-
-    def window_dma(slot, tile):
-        return pltpu.make_async_copy(
-            x_hbm.at[:, pl.ds(tile * r_tile, win_rows), :],
-            x_vmem.at[slot],
-            sem.at[slot],
-        )
-
-    @pl.when(i == 0)
-    def _():
-        window_dma(jnp.int32(0), 0).start()
-
-    cur = jax.lax.rem(i, two)
-
-    @pl.when(i + 1 < n_tiles)
-    def _():
-        window_dma(jax.lax.rem(i + 1, two), i + 1).start()
-
-    window_dma(cur, i).wait()
-
+def _accumulate(offsets, k, r_tile, hr, nz, df, xwin, c_ref, out_ref):
+    """Shared compute: shifted slabs + scalar-stencil accumulation from
+    one VMEM window ``xwin`` [nch, r_tile + 2hr, 128]."""
     nch = 16 if df else 8
     used = sorted({s for (_, _, s) in nz})
     lane = jax.lax.broadcasted_iota(jnp.int32, (nch, r_tile, LANES), 2)
@@ -111,14 +83,14 @@ def _kernel(offsets, k, r_tile, hr, nz, df, x_hbm, c_ref, out_ref, x_vmem, sem):
     # the dx=0 column needs no roll at all)
     qm = {s: divmod(offsets[s] + hr * LANES, LANES) for s in used}
     rolled = {
-        m: pltpu.roll(x_vmem[cur], jnp.int32(LANES - m), 2)
+        m: pltpu.roll(xwin, jnp.int32(LANES - m), 2)
         for m in sorted({m for _, m in qm.values()} - {0})
     }
     slabs = {}
     for s in used:
         q, m = qm[s]
         if m == 0:
-            slabs[s] = x_vmem[cur, :, q : q + r_tile, :]
+            slabs[s] = xwin[:, q : q + r_tile, :]
         else:
             r = rolled[m]
             slabs[s] = jnp.where(
@@ -153,6 +125,84 @@ def _kernel(offsets, k, r_tile, hr, nz, df, x_hbm, c_ref, out_ref, x_vmem, sem):
         out_ref[0, a, :, :] = acc_h
         if df:
             out_ref[1, a, :, :] = acc_l
+
+
+def _kernel(offsets, k, r_tile, hr, nz, df, x_hbm, c_ref, out_ref, x_vmem, sem):
+    """One grid step: DMA an x window, accumulate the scalar stencil.
+
+    ``nz``: static tuple of (a, b, s) triples actually accumulated.
+    ``df``: True = df x/y channels + EFT accumulation; False = plain f32.
+    ``c_ref``: SMEM [2, 36, K] (hi, lo) when df else [1, 36, K].
+    """
+    i = pl.program_id(0)
+    n_tiles = pl.num_programs(0)
+    win_rows = r_tile + 2 * hr
+    two = jnp.int32(2)  # avoid int64 promotion under x64
+
+    def window_dma(slot, tile):
+        return pltpu.make_async_copy(
+            x_hbm.at[:, pl.ds(tile * r_tile, win_rows), :],
+            x_vmem.at[slot],
+            sem.at[slot],
+        )
+
+    @pl.when(i == 0)
+    def _():
+        window_dma(jnp.int32(0), 0).start()
+
+    cur = jax.lax.rem(i, two)
+
+    @pl.when(i + 1 < n_tiles)
+    def _():
+        window_dma(jax.lax.rem(i + 1, two), i + 1).start()
+
+    window_dma(cur, i).wait()
+    _accumulate(offsets, k, r_tile, hr, nz, df, x_vmem[cur], c_ref, out_ref)
+
+
+def _kernel_df2(offsets, k, r_tile, hr, nz, xh_hbm, xl_hbm, c_ref, out_ref,
+                x_vmem, sem):
+    """df variant with SEPARATE hi/lo HBM streams (the pad-layout CG
+    keeps DF carry pairs as two 8-channel arrays; two window DMAs fill
+    the 16-channel VMEM window the shared compute expects)."""
+    i = pl.program_id(0)
+    n_tiles = pl.num_programs(0)
+    win_rows = r_tile + 2 * hr
+    two = jnp.int32(2)
+
+    def window_dmas(slot, tile):
+        # semaphore indices must stay i32: python-int literals promote
+        # to i64 under jax_enable_x64 and the remote Mosaic AOT rejects
+        # the mixed (i32, i64) memref_slice (same class of failure as
+        # the _z() BlockSpec index maps)
+        return (
+            pltpu.make_async_copy(
+                xh_hbm.at[:, pl.ds(tile * r_tile, win_rows), :],
+                x_vmem.at[slot, 0:8],
+                sem.at[slot, jnp.int32(0)],
+            ),
+            pltpu.make_async_copy(
+                xl_hbm.at[:, pl.ds(tile * r_tile, win_rows), :],
+                x_vmem.at[slot, 8:16],
+                sem.at[slot, jnp.int32(1)],
+            ),
+        )
+
+    @pl.when(i == 0)
+    def _():
+        for d in window_dmas(jnp.int32(0), 0):
+            d.start()
+
+    cur = jax.lax.rem(i, two)
+
+    @pl.when(i + 1 < n_tiles)
+    def _():
+        for d in window_dmas(jax.lax.rem(i + 1, two), i + 1):
+            d.start()
+
+    for d in window_dmas(cur, i):
+        d.wait()
+    _accumulate(offsets, k, r_tile, hr, nz, True, x_vmem[cur], c_ref, out_ref)
 
 
 # ----------------------------------------------------------------------
@@ -310,6 +360,96 @@ def _band_x_pad(xp, s2, r0: int, kind: str, nyp: int, nxp: int):
 def pad_core(pg: "_PadGridSpec", x2):
     """COMPACT [6, nr, 128] core view of the carry layout."""
     return x2[:6, pg.hr : pg.hr + pg.nr, :]
+
+
+def pad_embed(pg: "_PadGridSpec", y_c):
+    """COMPACT [6, nr, 128] -> carry layout (zero halo/channel pad)."""
+    buf = jnp.zeros((8, pg.nr + 2 * pg.hr, LANES), jnp.float32)
+    return buf.at[:6, pg.hr : pg.hr + pg.nr, :].set(y_c)
+
+
+def pad_ring_mask(pg: "_PadGridSpec"):
+    """COMPACT [1, nr, 128] mask: 1 at real grid-node positions, 0 on
+    ring / lane padding — multiplied into pad matvec outputs so CG
+    vectors (and their dot products) stay ring-clean."""
+    ones = np.zeros((pg.pyp_pad, pg.pxq), np.float32)
+    ones[1 : 1 + pg.nyp, 1 : 1 + pg.nxp] = 1.0
+    return jnp.asarray(ones.reshape(1, pg.nr, LANES))
+
+
+def class_matvec_df_pad(cp, pg: "_PadGridSpec", x, ring_c,
+                        interpret: bool = False):
+    """y = A_df x in the padded layout: ``x`` is a DF of two carry
+    arrays [8, nr+2hr, 128]; returns a DF of COMPACT [6, nr, 128] pairs
+    with ring positions zeroed by ``ring_c`` (pad_ring_mask). Same math
+    as class_matvec.class_matvec_df under the zero-ring convention."""
+    from fem_shell_tpu.ops.class_matvec import _acc_df, _band_tables
+    from fem_shell_tpu.ops.df import DF, df_add
+
+    offsets = pg.offsets_flat(cp.offs2d)
+    nz = tuple(sorted(cp.nzmask))
+
+    def c36(t):
+        return jnp.transpose(t, (1, 2, 0)).reshape(36, len(offsets))
+
+    ctab = jnp.stack([c36(cp.ih), c36(cp.il)])
+    kernel = functools.partial(
+        _kernel_df2, offsets, len(offsets), pg.r_tile, pg.hr, nz
+    )
+    y2 = pl.pallas_call(
+        kernel,
+        grid=(pg.nr // pg.r_tile,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(
+                (2, 36, len(offsets)),
+                lambda i: (_z(), _z(), _z()),
+                memory_space=pltpu.SMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (2, 6, pg.r_tile, LANES),
+            lambda i: (_z(), _z(), i, _z()),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((2, 6, pg.nr, LANES), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, 16, pg.r_tile + 2 * pg.hr, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        interpret=interpret,
+    )(x.hi, x.lo, ctab)
+
+    xp_h = pad_grid_view(pg, x.hi)
+    xp_l = pad_grid_view(pg, x.lo)
+    yvh = y2[0].reshape(6, pg.pyp_pad, pg.pxq)
+    yvl = y2[1].reshape(6, pg.pyp_pad, pg.pxq)
+    nyp, nxp = pg.nyp, pg.nxp
+    hi_tabs = _band_tables(cp, 0)
+    lo_tabs = _band_tables(cp, 1)
+    for (bh, r0, kind), (bl, _, _) in zip(hi_tabs, lo_tabs):
+        ln = nxp if kind == "row" else nyp
+        zb = jnp.zeros((6, 2, ln), jnp.float32)
+        accb = DF(zb, zb)
+        for s, s2 in enumerate(cp.offs2d):
+            xsh = _band_x_pad(xp_h, s2, r0, kind, nyp, nxp)
+            xsl = _band_x_pad(xp_l, s2, r0, kind, nyp, nxp)
+            for b in range(6):
+                accb = _acc_df(accb, bh[s, :, b], bl[s, :, b],
+                               xsh[b][None], xsl[b][None])
+        if kind == "row":
+            sl = (slice(None), slice(1 + r0, 3 + r0), slice(1, 1 + nxp))
+        else:
+            sl = (slice(None), slice(1, 1 + nyp), slice(1 + r0, 3 + r0))
+            accb = DF(accb.hi.transpose(0, 2, 1), accb.lo.transpose(0, 2, 1))
+        cur = df_add(DF(yvh[sl], yvl[sl]), accb)
+        yvh = yvh.at[sl].set(cur.hi)
+        yvl = yvl.at[sl].set(cur.lo)
+    return DF(
+        yvh.reshape(6, pg.nr, LANES) * ring_c,
+        yvl.reshape(6, pg.nr, LANES) * ring_c,
+    )
 
 
 def class_smooth_f32_pad(cp, pg: "_PadGridSpec", x2, b_c, wd_c, sweeps: int,

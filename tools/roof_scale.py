@@ -1,0 +1,90 @@
+"""Curved-shell scale proof: Scordelis-Lo roof at >=1M elements on the
+real TPU with the production MG-df pipeline (VERDICT r2 next-step #8 —
+curved geometry was never exercised above toy size).
+
+The curved structured grid goes through grid-df assembly + the
+materialized df pair + Pallas SpMV + the f32 V-cycle exactly like the
+flat plate; only the uniform-grid class-table fast path falls back (the
+exact-stencil class construction requires affine coordinates).
+
+Validation: the facet-shell midside deflection converges to ~-0.3031
+(Richardson from 16/32, tests/test_shells.py) toward the canonical
+-0.3024; at n=1024 discretization error is ~1e-4 and the df operator
+floor ~2e-4, so the value must land within 2e-3 of the Richardson
+limit.
+
+Run STANDALONE: nohup python tools/roof_scale.py 1024 > /tmp/roof_scale.log 2>&1 &
+"""
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def run(n=1024):
+    from fem_shell_tpu.mg import MultigridShellSystem
+    from fem_shell_tpu.shells import SCORDELIS_LO_MATERIAL, scordelis_lo
+
+    mesh, forces, mid = scordelis_lo(n)
+    n_elem = len(mesh.quad)
+    print(f"# device={jax.devices()[0]} elements={n_elem} dofs={mesh.n_dofs}",
+          flush=True)
+
+    t0 = time.perf_counter()
+    mg = MultigridShellSystem(mesh, SCORDELIS_LO_MATERIAL, dtype=jnp.float32,
+                              df_operator=True)
+    t_build = time.perf_counter() - t0
+    print(f"# construct+assemble: {t_build:.1f} s "
+          f"(fine operator: {'class' if mg._cdf is not None else 'pair'})",
+          flush=True)
+
+    t0 = time.perf_counter()
+    u = mg.solve_df(forces, rtol=1e-9, maxiter=600)
+    t_warm = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    mg.reassemble()
+    t_asm = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    u = mg.solve_df(forces, rtol=1e-9, maxiter=600)
+    t_solve = time.perf_counter() - t0
+
+    w = float(u[mid, 2])
+    target = -0.3031  # Richardson limit of this facet discretization
+    err = abs(w - target) / abs(target)
+    payload = {
+        "metric": "scordelis_lo_roof_scale",
+        "n": n,
+        "elements": n_elem,
+        "dofs": int(mesh.n_dofs),
+        "operator_rebuild_s": round(t_asm, 3),
+        "solve_s": round(t_solve, 3),
+        "solve_warm_incl_compile_s": round(t_warm, 2),
+        "inner_iters": mg.last_iters,
+        "residual": float(f"{mg.last_residual:.3e}"),
+        "midside_w": float(f"{w:.6f}"),
+        "err_vs_richardson": float(f"{err:.3e}"),
+    }
+    print(json.dumps(payload), flush=True)
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "ROOF_SCALE.json")
+    with open(path, "w") as f:
+        json.dump(payload, f)
+        f.write("\n")
+    print(f"# wrote {path}", flush=True)
+
+
+if __name__ == "__main__":
+    run(int(sys.argv[1]) if len(sys.argv) > 1 else 1024)

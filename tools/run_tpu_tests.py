@@ -402,6 +402,79 @@ print("OK")
 """
 
 
+_PAD_CLASS_SCRIPT = r"""
+import os
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+import jax
+jax.config.update("jax_enable_x64", True)
+import jax.numpy as jnp
+import numpy as np
+if jax.devices()[0].platform == "cpu":
+    print("SKIP: no accelerator")
+    raise SystemExit(0)
+from fem_shell_tpu.materials import Material
+from fem_shell_tpu.meshgen import MeshGenParams, generate
+from fem_shell_tpu.large import LargeShellSystem
+from fem_shell_tpu.mg import detect_structured_grid
+from fem_shell_tpu.ops.class_matvec import build_class_parts, class_matvec_df, class_matvec_f32
+from fem_shell_tpu.ops.df import DF
+from fem_shell_tpu.ops.exact_stencil import build_exact_stencil
+from fem_shell_tpu.ops.pallas_class import (
+    _PadGridSpec, class_matvec_df_pad, class_matvec_f32_pad,
+    from_pad_grid, pad_embed, pad_ring_mask, to_pad_grid)
+
+MAT = Material(0.3, 1e7, 0.5)
+pm = MeshGenParams("t", 96, 96, 0, 0, 10, 10, (0, 0, 0, 0), 300.0, 2, False, "z")
+mesh, rows, fac = generate(pm)
+s = LargeShellSystem(mesh, MAT, dtype=jnp.float32)
+grid = detect_structured_grid(mesh)
+st = build_exact_stencil(mesh, MAT, s.offsets, grid=grid)
+npad = s.pattern.n_pad
+cp, diag = build_class_parts(st, npad)
+pg = _PadGridSpec(st.nyp, st.nxp)
+ring = pad_ring_mask(pg)
+rng = np.random.default_rng(0)
+x64 = rng.standard_normal((6, npad))
+xh = jnp.asarray(x64.astype(np.float32))
+xl = jnp.asarray((x64 - np.asarray(xh, np.float64)).astype(np.float32))
+free = np.zeros((6, npad), np.float32)
+free[:, :st.nyp * st.nxp] = (~mesh.dirichlet_mask()).T
+
+# f32 pad matvec vs flat (free dofs; both share the class decomposition's
+# boundary cancellation noise ~eps32*|c|*|x|)
+y_flat = np.asarray(jax.jit(lambda v: class_matvec_f32(cp, v))(xh), np.float64)
+x2 = to_pad_grid(pg, xh)
+yp = jax.jit(lambda v: class_matvec_f32_pad(cp, pg, v))(x2)
+y_pad = np.asarray(from_pad_grid(pg, pad_embed(pg, yp), npad), np.float64)
+bound = 64 * 1.2e-7 * float(np.abs(np.asarray(cp.ih)).max()) * float(np.abs(x64).max())
+err = float(np.abs((y_pad - y_flat) * free).max())
+assert err <= bound, f"f32 pad matvec off flat: {err:.3e} vs bound {bound:.3e}"
+
+# df pad matvec vs flat df (tighter: Dekker-exact products)
+x = DF(xh, xl)
+ref = jax.jit(lambda v: class_matvec_df(cp, v))(x)
+ref64 = np.asarray(ref.hi, np.float64) + np.asarray(ref.lo, np.float64)
+xdf2 = DF(to_pad_grid(pg, xh), to_pad_grid(pg, xl))
+ypd = jax.jit(lambda v: class_matvec_df_pad(cp, pg, v, ring))(xdf2)
+pad64 = (np.asarray(from_pad_grid(pg, pad_embed(pg, ypd.hi), npad), np.float64)
+         + np.asarray(from_pad_grid(pg, pad_embed(pg, ypd.lo), npad), np.float64))
+bound_df = 64 * 3.6e-15 * float(np.abs(np.asarray(cp.ih)).max()) * float(np.abs(x64).max())
+err_df = float(np.abs((pad64 - ref64) * free).max())
+assert err_df <= bound_df, f"df pad matvec off flat: {err_df:.3e} vs {bound_df:.3e}"
+
+# end-to-end: class pad CG solve_df golden (Test-G analog at 96^2)
+from fem_shell_tpu.mg import MultigridShellSystem
+mg = MultigridShellSystem(mesh, MAT, dtype=jnp.float32, df_operator=True)
+assert mg._cdf is not None and mg.use_pallas
+u = mg.solve_df(rows * fac, rtol=1e-9, maxiter=400)
+w = float(u[mesh.n_nodes // 2, 2])
+err_g = abs(w - 0.1064045) / 0.1064045
+print(f"pad CG: iters {mg.last_iters} res {mg.last_residual:.2e} center {w:.6f} err {err_g:.2e}")
+assert err_g < 1e-3, f"pad CG golden err {err_g}"
+print("OK")
+"""
+
+
 def checks():
     from test_dfk import _TPU_PARITY_SCRIPT as dfk_script
     from test_pallas_spmv import _TPU_PARITY_SCRIPT as pallas_script
@@ -412,6 +485,7 @@ def checks():
         "pallas-df": _PALLAS_DF_SCRIPT,
         "pallas-elem": _PALLAS_ELEM_SCRIPT,
         "pallas-class": _PALLAS_CLASS_SCRIPT,
+        "pad-class": _PAD_CLASS_SCRIPT,
         "mg-df": _MGDF_SCRIPT,
         "class-mv": _CLASSMV_SCRIPT,
         "refined": _REFINED_SCRIPT,
