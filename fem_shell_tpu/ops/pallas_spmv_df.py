@@ -99,15 +99,19 @@ def _acc4_add(acc, big, mids, small):
     return (s0, s1, s2, a3 + c3)
 
 
-def _kernel(offsets, k, r_tile, hr, x_hbm, vh_ref, vl_ref, out_ref, x_vmem, sem, tiled=True, tf=False, kahan=False):
+def _kernel(offsets, k, r_tile, hr, x_hbm, vh_ref, vl_ref, out_ref, x_vmem, sem, tiled=True, tf=False, kahan=False, tps=1):
+    """``tps`` (tiled mode): value tiles processed per grid step —
+    batching amortizes the per-step pipeline overhead that capped the
+    1-tile kernel at ~53% of HBM bandwidth (r3 probe)."""
     i = pl.program_id(0)
     n_tiles = pl.num_programs(0)
-    win_rows = r_tile + 2 * hr
+    pay = tps * r_tile  # payload rows per grid step
+    win_rows = pay + 2 * hr
     two = jnp.int32(2)  # avoid int64 promotion under x64 (see pallas_spmv.py)
 
-    def window_dma(slot, tile):
+    def window_dma(slot, step):
         return pltpu.make_async_copy(
-            x_hbm.at[:, pl.ds(tile * r_tile, win_rows), :],
+            x_hbm.at[:, pl.ds(step * pay, win_rows), :],
             x_vmem.at[slot],
             sem.at[slot],
         )
@@ -125,92 +129,103 @@ def _kernel(offsets, k, r_tile, hr, x_hbm, vh_ref, vl_ref, out_ref, x_vmem, sem,
     window_dma(cur, i).wait()
 
     # shifted x windows (hi rows 0..5, lo rows 8..13 of the 16-sublane pad)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (16, r_tile, LANES), 2)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (16, pay, LANES), 2)
     slabs = []
     for s, off in enumerate(offsets):
         q, m = divmod(off + hr * LANES, LANES)
         if m == 0:
-            slabs.append(x_vmem[cur, :, q : q + r_tile, :])
+            slabs.append(x_vmem[cur, :, q : q + pay, :])
         else:
             a_rows = pltpu.roll(
-                x_vmem[cur, :, q : q + r_tile, :], jnp.int32(LANES - m), 2
+                x_vmem[cur, :, q : q + pay, :], jnp.int32(LANES - m), 2
             )
             b_rows = pltpu.roll(
-                x_vmem[cur, :, q + 1 : q + 1 + r_tile, :], jnp.int32(LANES - m), 2
+                x_vmem[cur, :, q + 1 : q + 1 + pay, :], jnp.int32(LANES - m), 2
             )
             slabs.append(jnp.where(lane < LANES - m, a_rows, b_rows))
 
-    for a in range(6):
-        if tf:
-            z = jnp.zeros((r_tile, LANES), jnp.float32)
-            acc = (z, z, z, z)
-        else:
-            acc_h = jnp.zeros((r_tile, LANES), jnp.float32)
-            acc_l = jnp.zeros((r_tile, LANES), jnp.float32)
-        for s in range(len(offsets)):
-            slab = slabs[s]
-            for b in range(6):
-                if tiled:
-                    vh = vh_ref[0, (a * 6 + b) * k + s, :, :]
-                    vl = vl_ref[0, (a * 6 + b) * k + s, :, :]
-                else:
-                    vh = vh_ref[(a * 6 + b) * k + s, :, :]
-                    vl = vl_ref[(a * 6 + b) * k + s, :, :]
-                xh = slab[b]
-                xl = slab[8 + b]
-                if tf:
-                    # every f32xf32 product pair is Dekker-exact; only
-                    # vl*xl (2^-48-level) stays plain
-                    p0, e0 = _two_prod(vh, xh)
-                    p1, e1 = _two_prod(vh, xl)
-                    p2, e2 = _two_prod(vl, xh)
-                    p3 = vl * xl
-                    acc = _acc4_add(acc, p0, (e0, p1, p2), (e1 + e2) + p3)
-                    continue
-                p, pe = _two_prod(vh, xh)
-                pe = pe + (vh * xl + vl * xh)
-                if kahan:
-                    # Kahan-style: exact two_sum for the main channel,
-                    # plain f32 error channel (no per-term renorm). The
-                    # error channel's own rounding is 2nd-order
-                    # (~2^-24 of the ~2^-24-level terms) — same
-                    # 2^-45-class entrywise contract, ~8 fewer VPU ops
-                    # per term on the hot accumulation path.
+    for t in range(tps):
+        rsl = slice(t * r_tile, (t + 1) * r_tile)
+        for a in range(6):
+            if tf:
+                z = jnp.zeros((r_tile, LANES), jnp.float32)
+                acc = (z, z, z, z)
+            else:
+                acc_h = jnp.zeros((r_tile, LANES), jnp.float32)
+                acc_l = jnp.zeros((r_tile, LANES), jnp.float32)
+            for s in range(len(offsets)):
+                slab = slabs[s]
+                for b in range(6):
+                    if tiled:
+                        vh = vh_ref[t, (a * 6 + b) * k + s, :, :]
+                        vl = vl_ref[t, (a * 6 + b) * k + s, :, :]
+                    else:
+                        vh = vh_ref[(a * 6 + b) * k + s, rsl, :]
+                        vl = vl_ref[(a * 6 + b) * k + s, rsl, :]
+                    xh = slab[b, rsl, :]
+                    xl = slab[8 + b, rsl, :]
+                    if tf:
+                        # every f32xf32 product pair is Dekker-exact; only
+                        # vl*xl (2^-48-level) stays plain
+                        p0, e0 = _two_prod(vh, xh)
+                        p1, e1 = _two_prod(vh, xl)
+                        p2, e2 = _two_prod(vl, xh)
+                        p3 = vl * xl
+                        acc = _acc4_add(acc, p0, (e0, p1, p2), (e1 + e2) + p3)
+                        continue
+                    p, pe = _two_prod(vh, xh)
+                    pe = pe + (vh * xl + vl * xh)
+                    if kahan:
+                        # Kahan-style: exact two_sum for the main channel,
+                        # plain f32 error channel (no per-term renorm). The
+                        # error channel's own rounding is 2nd-order
+                        # (~2^-24 of the ~2^-24-level terms) — same
+                        # 2^-45-class entrywise contract, ~8 fewer VPU ops
+                        # per term on the hot accumulation path.
+                        sh, se = _two_sum(acc_h, p)
+                        acc_h = sh
+                        acc_l = acc_l + (se + pe)
+                        continue
+                    # renormalized df add of (p, pe) into (acc_h, acc_l)
                     sh, se = _two_sum(acc_h, p)
-                    acc_h = sh
-                    acc_l = acc_l + (se + pe)
-                    continue
-                # renormalized df add of (p, pe) into (acc_h, acc_l)
-                sh, se = _two_sum(acc_h, p)
-                se = se + (acc_l + pe)
-                acc_h, acc_l = _two_sum(sh, se)
-        if kahan and not tf:
-            # one final renormalization so y is a proper df pair
-            acc_h, acc_l = _two_sum(acc_h, acc_l)
-        if tf:
-            s0, s1, s2, s3 = acc
-            h1, c1 = _two_sum(s0, s1)
-            h2, c2 = _two_sum(h1, s2)
-            acc_h, acc_l = _two_sum(h2, (c1 + c2) + s3)
-        out_ref[0, a, :, :] = acc_h
-        out_ref[1, a, :, :] = acc_l
+                    se = se + (acc_l + pe)
+                    acc_h, acc_l = _two_sum(sh, se)
+            if kahan and not tf:
+                # one final renormalization so y is a proper df pair
+                acc_h, acc_l = _two_sum(acc_h, acc_l)
+            if tf:
+                s0, s1, s2, s3 = acc
+                h1, c1 = _two_sum(s0, s1)
+                h2, c2 = _two_sum(h1, s2)
+                acc_h, acc_l = _two_sum(h2, (c1 + c2) + s3)
+            out_ref[0, a, rsl, :] = acc_h
+            out_ref[1, a, rsl, :] = acc_l
 
 
 def stencil_spmv_pallas_df(
     vh_tiled, vl_tiled, x: DF, offsets: Sequence[int], interpret: bool = False,
-    tf: bool = False, kahan: bool = False,
+    tf: bool = False, kahan: bool = False, tps: int = 0,
 ) -> DF:
     """y = A x with A the tile-major df pair (prepare_tiled_values_df)
     and x, y df vectors [6, Npad]. ``tf=True`` switches to the 4-level
     compensated accumulator (~2^-70 accumulation error) for
     iterative-refinement residual evaluation; ``kahan=True`` uses the
-    cheaper Kahan-channel accumulation (same 2^-45-class contract)."""
+    cheaper Kahan-channel accumulation (same 2^-45-class contract).
+    ``tps`` = value tiles per grid step (0 = auto: 2 when the tile count
+    divides — per-step pipeline overhead capped the 1-tile kernel at
+    ~53% of HBM bandwidth; 2 tiles still fit the double-buffered VMEM
+    budget at K<=9)."""
     ntiles, rows36k, r_tile, _ = vh_tiled.shape
     offsets = tuple(int(o) for o in offsets)
     k = len(offsets)
     assert rows36k == 36 * k and vl_tiled.shape == vh_tiled.shape
+    if tps <= 0:
+        tps = 2 if ntiles % 2 == 0 else 1
+    if ntiles % tps:
+        tps = 1
     npad = ntiles * r_tile * LANES
     nr = npad // LANES
+    pay = tps * r_tile
     halo = max(abs(offsets[0]), abs(offsets[-1]))
     hr = _ceil_to(_ceil_to(halo, LANES) // LANES + 1, 8)
 
@@ -226,29 +241,30 @@ def stencil_spmv_pallas_df(
         axis=0,
     )
 
-    kernel = functools.partial(_kernel, offsets, k, r_tile, hr, tf=tf, kahan=kahan)
+    kernel = functools.partial(_kernel, offsets, k, r_tile, hr, tf=tf,
+                               kahan=kahan, tps=tps)
     y2 = pl.pallas_call(
         kernel,
-        grid=(ntiles,),
+        grid=(ntiles // tps,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(
-                (1, 36 * k, r_tile, LANES),
+                (tps, 36 * k, r_tile, LANES),
                 lambda i: (i, _z(), _z(), _z()),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 36 * k, r_tile, LANES),
+                (tps, 36 * k, r_tile, LANES),
                 lambda i: (i, _z(), _z(), _z()),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (2, 6, r_tile, LANES), lambda i: (_z(), _z(), i, _z()), memory_space=pltpu.VMEM
+            (2, 6, pay, LANES), lambda i: (_z(), _z(), i, _z()), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((2, 6, nr, LANES), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, 16, r_tile + 2 * hr, LANES), jnp.float32),
+            pltpu.VMEM((2, 16, pay + 2 * hr, LANES), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,

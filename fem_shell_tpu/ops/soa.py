@@ -74,10 +74,12 @@ def _offsets_of(mesh) -> np.ndarray:
 
 
 def build_soa_pattern(
-    mesh, k_max: Optional[int] = None, pad_to: int = 1024, max_stencil: int = 32
+    mesh, k_max: Optional[int] = None, pad_to: int = 4096, max_stencil: int = 32
 ) -> SoAPattern:
-    # pad_to=1024 keeps Npad/128 a multiple of 8 so the Pallas SpMV kernel
-    # can always use full (8,128) row tiles
+    # pad_to=4096 keeps Npad/128 a multiple of 32: the Pallas SpMV kernels
+    # always get full (8,128) row tiles AND the tile count stays divisible
+    # by 4 so the df pair kernel can batch multiple tiles per grid step
+    # (per-step overhead halved the measured 426 GB/s at 1024^2, r3)
     n = mesh.n_nodes
     n_pad = _ceil_to(n, pad_to)
     offsets = _offsets_of(mesh)

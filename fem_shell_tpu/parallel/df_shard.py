@@ -111,14 +111,15 @@ def make_df_matvec(sys: ShardedStencilSystem, vals_df: DF, use_pallas: bool):
     return lambda pv: df_matvec_window(sys, vals_df, halo_exchange_df(sys, pv))
 
 
-def pcg_df_spmd(matvec, b: DF, prec, rtol, maxiter):
+def pcg_df_spmd(matvec, b: DF, prec, rtol, maxiter, axis=AXIS):
     """Distributed df PCG (inside shard_map): df vectors per shard,
-    emulated-f64 psum dots, arbitrary SPD preconditioner on the hi part."""
+    emulated-f64 psum dots, arbitrary SPD preconditioner on the hi part.
+    ``axis`` may be a mesh-axis name or a tuple (2D process grids)."""
 
     def pdot(x: DF, y: DF):
         x64 = x.hi.astype(jnp.float64) + x.lo.astype(jnp.float64)
         y64 = y.hi.astype(jnp.float64) + y.lo.astype(jnp.float64)
-        return jax.lax.psum(jnp.sum(x64 * y64), AXIS)
+        return jax.lax.psum(jnp.sum(x64 * y64), axis)
 
     b_norm = jnp.sqrt(pdot(b, b))
     stop = rtol * b_norm

@@ -68,3 +68,26 @@ def test_unstructured_rejected():
     mesh = mesh_from_tris(A.COORDS, A.TRIS, A.BOUNDARY_SIDES)
     with pytest.raises(ValueError, match="structured grid"):
         Sharded2DGridSystem(mesh, MAT, make_device_mesh2d(2, 2))
+
+
+def test_quad_2d_df():
+    """PRODUCTION df CG on the 2D tile partition
+    (Sharded2DGridDFSystem): df pair operator, DF vectors, 2-axis psum
+    dots, both df components per halo ring. CPU-jit EFTs are degraded vs
+    TPU (ops/df.py), hence the loose window vs the f64 reference."""
+    from fem_shell_tpu.parallel.grid2d_shard import Sharded2DGridDFSystem
+
+    mesh, forces = case("q", 16)
+    ref = np.asarray(ShellSystem(mesh, MAT).solve(forces, rtol=1e-12))
+    s = Sharded2DGridDFSystem(mesh, MAT, make_device_mesh2d(2, 4), chunk=256)
+    u = s.solve(forces, rtol=1e-9, maxiter=20000)
+    assert s.last_residual < 1e-9
+    # unequilibrated df accumulation floor, further degraded by CPU-jit
+    # FMA contraction of the EFTs (ops/df.py) — same window class as the
+    # dryrun's df paths
+    assert np.abs(u - ref).max() < 1e-4 * np.abs(ref).max()
+
+    # shard-layout invariance of the df path
+    s2 = Sharded2DGridDFSystem(mesh, MAT, make_device_mesh2d(4, 2), chunk=256)
+    u2 = s2.solve(forces, rtol=1e-9, maxiter=20000)
+    assert np.abs(u2 - ref).max() < 1e-4 * np.abs(ref).max()

@@ -57,7 +57,12 @@ def main():
     pair_bytes = pair.hi.size * 4 * 2
     true_bytes = pair_bytes + (x0.hi.size * 4 * 2) * 2  # + x read + y write
 
-    for label, kw in (("renorm", {}), ("kahan", {"kahan": True})):
+    for label, kw in (
+        ("renorm/tps1", {"tps": 1}),
+        ("renorm/tps2", {"tps": 2}),
+        ("kahan/tps2", {"kahan": True, "tps": 2}),
+        ("renorm/tps4", {"tps": 4}),
+    ):
         @jax.jit
         def chain(vh, vl, x):
             def body(i, c):
