@@ -247,7 +247,11 @@ def bench_scale(n: int = 1024, et: str = "t"):
     float(chain(pair.hi, pair.lo, x0))
     dt = time.perf_counter() - t0
     nbytes = pair.hi.size * 4 * 2  # hi + lo streamed per matvec
+    # corrected accounting: the matvec also reads x (hi+lo) and writes
+    # y (hi+lo) every application — true bytes moved per matvec
+    nbytes_true = nbytes + x0.hi.size * 4 * 2 * 2
     out["pallas_df_spmv_gbs"] = round(iters * nbytes / dt / 1e9, 1)
+    out["pallas_df_spmv_gbs_true"] = round(iters * nbytes_true / dt / 1e9, 1)
     return out
 
 

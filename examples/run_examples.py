@@ -17,6 +17,13 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+import jax
+
+# the reference executables run in double precision; without this the
+# examples silently solve in f32 (borderline on B/D, NaN on the
+# t=0.01 Test-F plate whose kappa is far beyond f32 PCG)
+jax.config.update("jax_enable_x64", True)
+
 import numpy as np
 
 
@@ -103,6 +110,24 @@ def main() -> int:
 
     keys = [k for k in "ABCDEF"] + (["G"] if args.with_g else [])
     failures = 0
+
+    # Scordelis-Lo roof (curved-shell benchmark; fem_shell_tpu/shells.py)
+    from fem_shell_tpu.shells import SCORDELIS_LO_MATERIAL, scordelis_lo
+
+    mesh_r, forces_r, mid = scordelis_lo(16)
+    sys_r = ShellSystem(mesh_r, SCORDELIS_LO_MATERIAL)
+    u_r = np.asarray(sys_r.solve(forces_r, rtol=1e-12, maxiter=100000))
+    write_vtu(mesh_r, os.path.join(out_dir, "test_roof.vtu"),
+              displacement=u_r, displace=True)
+    w_r = u_r[mid, 2]
+    rel_r = abs(w_r - (-0.29379)) / 0.29379
+    ok_r = rel_r < 1e-3
+    failures += 0 if ok_r else 1
+    print("Test roof: Scordelis-Lo barrel vault 16x16 (canonical -0.3024 "
+          "at convergence)")
+    print(f"  midside w: {w_r:+.6f}  (16x16 golden -0.293790, rel diff "
+          f"{rel_r:.1e}) {'OK' if ok_r else 'MISMATCH'}")
+
     for key in keys:
         nu, em, t, desc, checks = CASES[key]
         mesh, forces = load_mesh_and_forces(paths[key] + ".xda")

@@ -462,10 +462,13 @@ bound_df = 64 * 3.6e-15 * float(np.abs(np.asarray(cp.ih)).max()) * float(np.abs(
 err_df = float(np.abs((pad64 - ref64) * free).max())
 assert err_df <= bound_df, f"df pad matvec off flat: {err_df:.3e} vs {bound_df:.3e}"
 
-# end-to-end: class pad CG solve_df golden (Test-G analog at 96^2)
+# end-to-end: class pad CG solve_df golden (Test-G analog at 96^2;
+# use_pallas forced — the auto gate needs >=65536 elements)
 from fem_shell_tpu.mg import MultigridShellSystem
-mg = MultigridShellSystem(mesh, MAT, dtype=jnp.float32, df_operator=True)
-assert mg._cdf is not None and mg.use_pallas
+mg = MultigridShellSystem(mesh, MAT, dtype=jnp.float32, df_operator=True,
+                          use_pallas=True)
+assert mg._cdf is not None, "class operator not selected"
+assert mg.use_pallas, "pallas disabled on accelerator"
 u = mg.solve_df(rows * fac, rtol=1e-9, maxiter=400)
 w = float(u[mesh.n_nodes // 2, 2])
 err_g = abs(w - 0.1064045) / 0.1064045
