@@ -242,6 +242,113 @@ def _restrict(gf):
     return out
 
 
+def _is_planar(coords, tol: float = 1e-6) -> bool:
+    """True when the node cloud lies in one plane (within tol, relative
+    to the largest in-plane extent) — flat plates keep the cheap
+    rediscretized coarse levels; curved shells get Galerkin RAP."""
+    c = np.asarray(coords, np.float64)
+    c = c - c.mean(axis=0)
+    w = np.linalg.eigvalsh(c.T @ c)
+    if w[-1] <= 0:
+        return True
+    return float(np.sqrt(max(w[0], 0.0) / w[-1])) <= tol
+
+
+def _offset_dydx(off: int, nxp: int):
+    """Linear node offset -> (dy, dx) on a row-major grid, |dx| <= 1."""
+    for dy in (-1, 0, 1):
+        dx = off - dy * nxp
+        if abs(dx) <= 1:
+            return dy, dx
+    raise ValueError(f"offset {off} not within the 3x3 stencil of nxp={nxp}")
+
+
+def grid_rap_offsets(nxp_c: int):
+    """The 9-point coarse stencil offsets stencil_rap emits."""
+    return tuple(dy * nxp_c + dx for dy in (-1, 0, 1) for dx in (-1, 0, 1))
+
+
+def stencil_rap(values, free_c, offsets_f, nyp_f, nxp_f, npad_c):
+    """Galerkin coarse operator C = P^T A P in stencil space.
+
+    ``values`` is a fine-level SoA stencil ([36, K, Npad] or flat
+    [36K, Npad], the _densify convention: block A(i, i+off_s) =
+    v[a, b, s, i]); P is the bilinear node-grid prolongation (_prolong).
+    With P's 3x3 support and A's 3x3 reach, C closes within the 3x3
+    coarse stencil (|2O + d2 - d1| <= 1 with |d1|,|d2| <= 1 forces
+    |O| <= 1), so the result is a [36*9, npad_c] stencil over
+    ``grid_rap_offsets`` — directly usable by the same smoother /
+    Pallas-SpMV / coarse-Cholesky machinery as a rediscretized level.
+
+    Why it exists: rediscretizing coarse levels on subsampled CURVED
+    grids (Scordelis-Lo roof) yields a coarse polyhedral surface whose
+    inextensional-bending near-nullspace no longer matches the fine
+    facet model — the V-cycle stagnates (roof 32x32, f64: residual
+    2.6e-2 after 300 CG iterations). The Galerkin operator inherits the
+    fine energy by construction (same experiment: 1e-10 in 112
+    iterations), which is the standard variational-MG guarantee.
+
+    Dirichlet: fine ``values`` are already BC-eliminated (zero
+    rows/cols, unit diag). The RAP spreads those unit diagonals, so the
+    coarse stencil is re-masked against ``free_c`` ([6, npad_c]) and
+    given unit diagonals on constrained dofs — the exact convention the
+    assemblers produce.
+    """
+    k = len(offsets_f)
+    n_f = nyp_f * nxp_f
+    nyc, nxc = (nyp_f + 1) // 2, (nxp_f + 1) // 2
+    n_c = nyc * nxc
+    S = values.reshape(6, 6, k, -1)[:, :, :, :n_f].reshape(6, 6, k, nyp_f, nxp_f)
+    # zero-pad by 1 so sampling at fine node 2I + d1 is a static slice
+    Sp = jnp.pad(S, ((0, 0), (0, 0), (0, 0), (1, 1), (1, 1)))
+    w = {-1: 0.5, 0: 1.0, 1: 0.5}
+    acc = {(oy, ox): None for oy in (-1, 0, 1) for ox in (-1, 0, 1)}
+    for s, off in enumerate(offsets_f):
+        oy, ox = _offset_dydx(int(off), nxp_f)
+        for d1y in (-1, 0, 1):
+            ty = oy + d1y
+            for d1x in (-1, 0, 1):
+                tx = ox + d1x
+                # S[o] sampled at fine (2Iy+d1y, 2Ix+d1x), strided slice
+                samp = Sp[
+                    :, :, s,
+                    d1y + 1 : d1y + 2 * nyc : 2,
+                    d1x + 1 : d1x + 2 * nxc : 2,
+                ]
+                for Oy in range((ty - 1 + 1) // 2, (ty + 1) // 2 + 1):
+                    d2y = ty - 2 * Oy
+                    if abs(d2y) > 1:
+                        continue
+                    for Ox in range((tx - 1 + 1) // 2, (tx + 1) // 2 + 1):
+                        d2x = tx - 2 * Ox
+                        if abs(d2x) > 1:
+                            continue
+                        wt = w[d1y] * w[d1x] * w[d2y] * w[d2x]
+                        t = wt * samp
+                        prev = acc[(Oy, Ox)]
+                        acc[(Oy, Ox)] = t if prev is None else prev + t
+    out = jnp.stack(
+        [acc[(oy, ox)] for oy in (-1, 0, 1) for ox in (-1, 0, 1)], axis=2
+    )  # [6, 6, 9, nyc, nxc]
+    # re-apply coarse Dirichlet elimination: zero rows/cols, unit diag
+    fg = free_c[:, :n_c].reshape(6, nyc, nxc).astype(out.dtype)
+    fgp = jnp.pad(fg, ((0, 0), (1, 1), (1, 1)))
+    nb = jnp.stack(
+        [
+            fgp[:, 1 + oy : 1 + oy + nyc, 1 + ox : 1 + ox + nxc]
+            for oy in (-1, 0, 1)
+            for ox in (-1, 0, 1)
+        ],
+        axis=1,
+    )  # [6, 9, nyc, nxc] — free mask of the neighbor each slot points at
+    out = out * fg[:, None, None] * nb[None, :, :]
+    one = jnp.ones((nyc, nxc), out.dtype)
+    for a in range(6):
+        out = out.at[a, a, 4].set(jnp.where(fg[a] > 0, out[a, a, 4], one))
+    flat = out.reshape(36 * 9, n_c)
+    return jnp.pad(flat, ((0, 0), (0, npad_c - n_c)))
+
+
 class MultigridShellSystem:
     """Shell solver with a geometric V-cycle preconditioner (any row-major
     structured grid mesh; nx, ny divisible by 2^(levels-1))."""
@@ -263,6 +370,7 @@ class MultigridShellSystem:
         smoother: str = "jacobi",
         elem_pallas: bool = False,
         class_operator: Optional[bool] = None,
+        coarse_op: Optional[str] = None,
     ):
         """``df_operator=True`` is the multi-million-element configuration:
         every level is strip-assembled into a df (two-f32) operator
@@ -276,7 +384,16 @@ class MultigridShellSystem:
         matvec (ops/class_matvec.py) — the fine pair (10.7 GB at the 10M
         element scale) is never assembled or stored. None = auto (on when
         the exact-stencil class builder accepts the mesh), False = force
-        the materialized pair, True = require (raises on non-uniform)."""
+        the materialized pair, True = require (raises on non-uniform).
+
+        ``coarse_op``: how levels l >= 1 get their operators.
+        "rediscretize" re-assembles the shell kernels on the subsampled
+        grid (cheap, matches the r1/r2 behavior); "galerkin" computes
+        the variational C = P^T A P in stencil space (stencil_rap). None
+        = auto: galerkin when the mesh is non-planar (CURVED structured
+        shells — rediscretized coarse facet surfaces stagnate the
+        V-cycle, see stencil_rap's docstring), rediscretize on flat
+        meshes (identical goldens/iteration counts to previous rounds)."""
         if isinstance(mesh, MeshGenParams):
             mesh, _, _ = generate(mesh)
         self.material = material
@@ -330,6 +447,19 @@ class MultigridShellSystem:
             )
         self.grid = grid
 
+        if coarse_op is None:
+            coarse_op = "rediscretize" if _is_planar(mesh.coords) else "galerkin"
+        if coarse_op not in ("rediscretize", "galerkin"):
+            raise ValueError(f"unknown coarse_op {coarse_op!r}")
+        self.coarse_op = coarse_op
+        if coarse_op == "galerkin" and class_operator:
+            raise ValueError(
+                "coarse_op='galerkin' needs materialized fine values as the "
+                "RAP source; class_operator=True stores none"
+            )
+        if coarse_op == "galerkin":
+            class_operator = False
+
         if n_levels is None:
             n_levels = 1
             nx, ny = grid.nxp - 1, grid.nyp - 1
@@ -371,6 +501,7 @@ class MultigridShellSystem:
             )
             if sys_l.offsets is None:
                 raise ValueError("multigrid requires stencil-addressable grids")
+            galerkin_l = l > 0 and self.coarse_op == "galerkin"
             if not assemble:
                 # lazy construction (solve_fused assembles every level
                 # inside its single jitted program per call)
@@ -378,7 +509,11 @@ class MultigridShellSystem:
                 self.levels.append(
                     _Level(
                         values=None,
-                        offsets=tuple(int(o) for o in sys_l.offsets),
+                        offsets=(
+                            grid_rap_offsets(nxp_l)
+                            if galerkin_l
+                            else tuple(int(o) for o in sys_l.offsets)
+                        ),
                         free_t=sys_l.free_t,
                         inv_diag=None,
                         nyp=nyp_l,
@@ -386,6 +521,21 @@ class MultigridShellSystem:
                         npad=sys_l.pattern.n_pad,
                     )
                 )
+                continue
+            if galerkin_l:
+                values, diag, offs = self._rap_level(self.levels[l - 1], sys_l, l)
+                self._systems.append(sys_l)
+                lvl = _Level(
+                    values=values,
+                    offsets=offs,
+                    free_t=sys_l.free_t,
+                    inv_diag=jnp.where(diag != 0, 1.0 / diag, 1.0),
+                    nyp=nyp_l,
+                    nxp=nxp_l,
+                    npad=sys_l.pattern.n_pad,
+                )
+                om, lam = self._level_omega(lvl)
+                self.levels.append(dataclasses.replace(lvl, omega=om, lam=lam))
                 continue
             if df_operator and l == 0 and class_operator is not False and n_levels > 1:
                 # matrix-free fine level: exact-stencil class tables
@@ -498,6 +648,38 @@ class MultigridShellSystem:
         return dataclasses.replace(c, dense_inv=jnp.asarray(inv, self.dtype))
 
     # ------------------------------------------------------------------
+    def _rap_level(self, prev: _Level, sys_l, l: int):
+        """Galerkin level operator from the previous (finer) level:
+        stencil_rap on the flat values, re-tiled for the Pallas smoother
+        where the rediscretized path would have assembled tiled."""
+        from fem_shell_tpu.ops.assemble_grid import tile_values, untile_values
+
+        pv = prev.values
+        if pv is None:
+            raise ValueError("galerkin coarse levels need materialized values")
+        if pv.ndim == 4:
+            pv = untile_values(pv)
+        if not hasattr(self, "_rap_jit"):
+            self._rap_jit = jax.jit(stencil_rap, static_argnums=(2, 3, 4, 5))
+        npad_c = sys_l.pattern.n_pad
+        flat = self._rap_jit(
+            pv,
+            sys_l.free_t.astype(pv.dtype),
+            prev.offsets,
+            prev.nyp,
+            prev.nxp,
+            npad_c,
+        )
+        nxp_l = prev.nxp // 2 + 1
+        offs = grid_rap_offsets(nxp_l)
+        tiled = (
+            self.df_operator and self.use_pallas and l < self.n_levels - 1
+        )
+        values = tile_values(flat) if tiled else flat
+        diag = self._diag_of(values, offs)
+        return values, diag, offs
+
+    # ------------------------------------------------------------------
     def _build_class_level(self, mesh, sys_l, timings: Optional[dict] = None):
         """Host: exact-stencil tables -> matrix-free class operator parts
         for the fine level (raises ValueError off uniform grids)."""
@@ -553,6 +735,20 @@ class MultigridShellSystem:
                 om, lam = self._level_omega(lvl)
                 prof.mark("class/omega", om, lam)
                 self.levels[0] = dataclasses.replace(lvl, omega=om, lam=lam)
+                continue
+            if l > 0 and self.coarse_op == "galerkin":
+                self.levels[l] = dataclasses.replace(self.levels[l], values=None)
+                values, diag, offs = self._rap_level(self.levels[l - 1], sys_l, l)
+                prof.mark(f"L{l}/rap", values, diag)
+                lvl = dataclasses.replace(
+                    self.levels[l],
+                    values=values,
+                    offsets=offs,
+                    inv_diag=jnp.where(diag != 0, 1.0 / diag, 1.0),
+                )
+                om, lam = self._level_omega(lvl)
+                prof.mark(f"L{l}/omega", om, lam)
+                self.levels[l] = dataclasses.replace(lvl, omega=om, lam=lam)
                 continue
             # release the old operator FIRST: at the largest scale two df
             # pairs cannot coexist in HBM
@@ -1347,10 +1543,23 @@ class MultigridShellSystem:
         levels32 = []
         fine_df = None
         fine64 = None
+        prev_v64 = None
         for l, sys_l in enumerate(self._systems):
-            v64 = sys_l._assemble_impl(coords_list[l], tables_list[l])
-            diag = soa_diagonal(v64, offsets=sys_l.offsets)
             base = self.levels[l]
+            if l > 0 and self.coarse_op == "galerkin":
+                prev_lvl = self.levels[l - 1]
+                v64 = stencil_rap(
+                    prev_v64,
+                    base.free_t,
+                    prev_lvl.offsets,
+                    prev_lvl.nyp,
+                    prev_lvl.nxp,
+                    base.npad,
+                )
+            else:
+                v64 = sys_l._assemble_impl(coords_list[l], tables_list[l])
+            diag = soa_diagonal(v64, offsets=base.offsets)
+            prev_v64 = v64
             if l == 0:
                 fine64 = v64
                 if arith == "df":

@@ -71,3 +71,60 @@ def test_mg_chebyshev_smoother_matches_reference():
         int(mg_c.last_cg.iters),
         int(mg_j.last_cg.iters),
     )
+
+
+def test_stencil_rap_matches_dense_ptap():
+    """stencil_rap (the Galerkin coarse-level builder) equals the dense
+    P^T A P with bilinear P — on a curved quad grid (Scordelis-Lo roof,
+    9-offset fine stencil) and a flat tri grid (7-offset fine stencil
+    whose RAP fills the full 9-point coarse pattern)."""
+    import jax
+
+    from fem_shell_tpu.mg import _densify
+    from fem_shell_tpu.shells import SCORDELIS_LO_MATERIAL, scordelis_lo
+
+    def dense_rap(mg):
+        fine, coarse = mg.levels[0], mg.levels[1]
+        nc = coarse.nyp * coarse.nxp
+        eye = jnp.eye(6 * nc).reshape(6 * nc, 6, coarse.nyp, coarse.nxp)
+        P = np.asarray(
+            jax.vmap(_prolong)(eye).reshape(6 * nc, 6 * fine.nyp * fine.nxp)
+        ).T
+        A = np.asarray(_densify(fine), np.float64)
+        C = P.T @ A @ P
+        free_c = np.asarray(coarse.free_t)[:, :nc].reshape(-1).astype(bool)
+        C[~free_c, :] = 0.0
+        C[:, ~free_c] = 0.0
+        C[np.ix_(~free_c, ~free_c)] = np.eye((~free_c).sum())
+        return C
+
+    roof, _, _ = scordelis_lo(8)
+    plate, _, _ = generate(
+        MeshGenParams("t", 8, 8, 0, 0, 1, 1, (1, 1, -1, -1), 1.0, 0, True, "z")
+    )
+    for mesh, mat in ((roof, SCORDELIS_LO_MATERIAL), (plate, MAT)):
+        g = MultigridShellSystem(mesh, mat, dtype=jnp.float64, n_levels=2,
+                                 coarse_op="galerkin")
+        r = MultigridShellSystem(mesh, mat, dtype=jnp.float64, n_levels=2,
+                                 coarse_op="rediscretize")
+        C_stencil = np.asarray(_densify(g.levels[1]), np.float64)
+        C_dense = dense_rap(r)
+        err = np.abs(C_stencil - C_dense).max() / np.abs(C_dense).max()
+        assert err < 1e-12, err
+
+
+def test_coarse_op_auto_selection():
+    """None = auto: flat meshes keep the (cheaper) rediscretized coarse
+    levels — identical behavior to previous rounds — while non-planar
+    meshes pick galerkin."""
+    from fem_shell_tpu.shells import SCORDELIS_LO_MATERIAL, scordelis_lo
+
+    p = MeshGenParams("q", 8, 8, 0, 0, 1, 1, (0, 0, 0, 0), 1.0, 2, True, "z")
+    flat = MultigridShellSystem(p, MAT, n_levels=2)
+    assert flat.coarse_op == "rediscretize"
+    roof, _, _ = scordelis_lo(8)
+    curved = MultigridShellSystem(roof, SCORDELIS_LO_MATERIAL, n_levels=2)
+    assert curved.coarse_op == "galerkin"
+    with pytest.raises(ValueError):
+        MultigridShellSystem(roof, SCORDELIS_LO_MATERIAL, n_levels=2,
+                             coarse_op="nonsense")

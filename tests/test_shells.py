@@ -37,17 +37,50 @@ def test_scordelis_lo_golden(n):
 
 def test_scordelis_lo_mg_matches_direct():
     """The geometric MG production path accepts the CURVED structured
-    grid (rediscretized coarse levels on subsampled curved coords) and
-    reproduces the direct solve."""
+    grid (auto-selecting Galerkin coarse operators) and reproduces the
+    direct solve."""
     import jax.numpy as jnp
 
     from fem_shell_tpu.mg import MultigridShellSystem
 
     mesh, forces, mid = scordelis_lo(16)
     mg = MultigridShellSystem(mesh, SCORDELIS_LO_MATERIAL, dtype=jnp.float64)
+    assert mg.coarse_op == "galerkin"  # non-planar -> variational coarse ops
     u = mg.solve(forces, rtol=1e-11)
     np.testing.assert_allclose(float(u[mid, 2]), PINNED[16], rtol=1e-4)
     assert mg.last_cg.iters < 200
+
+
+def test_roof_galerkin_vcycle_converges_where_rediscretize_stalls():
+    """Curved-grid V-cycle correctness (the r3 roof-scale diagnosis):
+    coarse levels REDISCRETIZED on the subsampled roof stagnate the
+    preconditioned CG — the coarse polyhedral surface's
+    inextensional-bending near-nullspace no longer matches the fine
+    facet model — while the Galerkin (stencil RAP) coarse operator
+    converges mesh-independently. Forced 2-level so the coarse-grid
+    correction is actually exercised (auto depth at n=16 is 1 level =
+    a trivial dense solve)."""
+    import jax.numpy as jnp
+
+    from fem_shell_tpu.mg import MultigridShellSystem
+
+    mesh, forces, mid = scordelis_lo(16)
+    mg = MultigridShellSystem(mesh, SCORDELIS_LO_MATERIAL, dtype=jnp.float64,
+                              n_levels=2, coarse_op="galerkin")
+    u = mg.solve(forces, rtol=1e-10, maxiter=250)
+    assert int(mg.last_cg.iters) < 160
+    assert float(mg.last_cg.residual) < 1e-9
+    np.testing.assert_allclose(float(u[mid, 2]), PINNED[16], rtol=1e-4)
+    # reassemble must reproduce the operators bit-for-bit (warm path)
+    mg.reassemble()
+    u2 = mg.solve(forces, rtol=1e-10, maxiter=250)
+    assert np.abs(np.asarray(u2) - np.asarray(u)).max() == 0.0
+
+    bad = MultigridShellSystem(mesh, SCORDELIS_LO_MATERIAL, dtype=jnp.float64,
+                               n_levels=2, coarse_op="rediscretize")
+    bad.solve(forces, rtol=1e-10, maxiter=40)
+    # documented failure mode: far from converged where galerkin is done
+    assert float(bad.last_cg.residual) > 1e-4
 
 
 @pytest.mark.slow
