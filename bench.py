@@ -159,11 +159,12 @@ def bench_scale(n: int = 1024, et: str = "t"):
     mesh, rows, fac = generate(p)
     forces = rows * fac
     n_elem = len(mesh.tri) + len(mesh.quad)
-    # default (auto-damped Jacobi) smoother: the exact configuration the
-    # 2304^2 scale run completed with on this hardware — keep the bench
-    # on the proven path (chebyshev is CPU-tested but never finished a
-    # full TPU run here)
-    mg = MultigridShellSystem(p, MAT, dtype=jnp.float32, df_operator=True)
+    # chebyshev/nu=3 smoother: TPU-proven on this exact workload
+    # (tools/cheby_probe.py, r3: solve 5.52 s / 75 inner iters vs
+    # jacobi 7.71 s / 127 — same golden err 5.8e-4, same 9.7e-4 df
+    # refinement floor)
+    mg = MultigridShellSystem(p, MAT, dtype=jnp.float32, df_operator=True,
+                              smoother="chebyshev")
     mg.solve_df_refined(forces, rtol=1e-9)  # warm-up: compiles + caches
     t0 = time.perf_counter()
     mg.reassemble()

@@ -44,11 +44,16 @@ def run(n=1024):
           flush=True)
 
     t0 = time.perf_counter()
+    # chebyshev smoother + (auto) Galerkin coarse operators: the
+    # rediscretized-coarse V-cycle stagnates on curved grids (r3
+    # diagnosis, see mg.stencil_rap) — the first roof-scale attempt
+    # diverged at residual 34 for exactly that reason
     mg = MultigridShellSystem(mesh, SCORDELIS_LO_MATERIAL, dtype=jnp.float32,
-                              df_operator=True)
+                              df_operator=True, smoother="chebyshev")
     t_build = time.perf_counter() - t0
     print(f"# construct+assemble: {t_build:.1f} s "
-          f"(fine operator: {'class' if mg._cdf is not None else 'pair'})",
+          f"(fine operator: {'class' if mg._cdf is not None else 'pair'}, "
+          f"coarse_op: {mg.coarse_op}, levels: {mg.n_levels})",
           flush=True)
 
     t0 = time.perf_counter()
