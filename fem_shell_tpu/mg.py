@@ -371,6 +371,7 @@ class MultigridShellSystem:
         elem_pallas: bool = False,
         class_operator: Optional[bool] = None,
         coarse_op: Optional[str] = None,
+        cycle: str = "V",
     ):
         """``df_operator=True`` is the multi-million-element configuration:
         every level is strip-assembled into a df (two-f32) operator
@@ -416,6 +417,9 @@ class MultigridShellSystem:
         if smoother not in ("jacobi", "chebyshev"):
             raise ValueError(f"unknown smoother {smoother!r}")
         self.smoother = smoother
+        if cycle not in ("V", "W"):
+            raise ValueError(f"unknown cycle {cycle!r}")
+        self.cycle = cycle
         _n_elem_fine = len(mesh.tri) + len(mesh.quad)
         # "big" regime: grid-df assembly + Pallas matvecs win above
         # ~10^5 elements; below, the per-dispatch overhead of the
@@ -936,6 +940,16 @@ class MultigridShellSystem:
         nxt = levels[li + 1]
         rc = _from_grid(_restrict(_to_grid(r, lvl)), nxt) * nxt.free_t
         ec = self._vcycle(levels, li + 1, rc)
+        if self.cycle == "W" and li + 1 < len(levels) - 1:
+            # gamma=2: one more coarse visit on the updated residual.
+            # The composed coarse solver 2M - M A M stays symmetric, so
+            # the cycle remains a valid CG preconditioner. Shell
+            # hierarchies weaken with depth (roof, galerkin levels:
+            # 93 -> 240 CG iterations from 3 to 4 V-cycle levels, r3
+            # probe) — the extra coarse work is geometric-series cheap
+            # and flattens that growth, same rationale as amg.py's W.
+            rc2 = rc - self._mv(nxt, ec) * nxt.free_t
+            ec = ec + self._vcycle(levels, li + 1, rc2)
         x = x + _from_grid(_prolong(_to_grid(ec, nxt)), lvl) * lvl.free_t
         x = self._smooth(lvl, x, b, self.nu_smooth)
         return x
@@ -990,6 +1004,9 @@ class MultigridShellSystem:
         nxt = levels[1]
         rc = _from_grid(_restrict(rg), nxt) * nxt.free_t
         ec = self._vcycle(levels, 1, rc)
+        if self.cycle == "W" and 1 < len(levels) - 1:
+            rc2 = rc - self._mv(nxt, ec) * nxt.free_t
+            ec = ec + self._vcycle(levels, 1, rc2)
         corr = _prolong(_to_grid(ec, nxt))
         n = nyp * nxp
         free_g = lvl.free_t[:, :n].reshape(6, nyp, nxp)

@@ -336,3 +336,240 @@ def stencil_spmv_pallas_df_flat(
 
 def _kernel_flat(offsets, k, r_tile, hr, x_hbm, vh_ref, vl_ref, out_ref, x_vmem, sem, tf=False):
     _kernel(offsets, k, r_tile, hr, x_hbm, vh_ref, vl_ref, out_ref, x_vmem, sem, tiled=False, tf=tf)
+
+
+# ----------------------------------------------------------------------
+# symmetric-storage df SpMV: stream HALF the operator
+# ----------------------------------------------------------------------
+#
+# The shell stencil operator is symmetric: A(i, i+off) = A(i+off, i)^T,
+# i.e. values[a, b, off, i] = values[b, a, -off, i+off]. The general
+# kernel above streams all K slots — both matrix halves — so at the
+# measured ~436 GB/s it moves 2x the bytes the matvec fundamentally
+# needs. This variant stores only the off >= 0 slots (5 of 9 on quad
+# grids, 4 of 7 on tri) and uses every loaded block twice:
+#
+#   y[i]      += S[off](i)    x[i+off]      (direct, off >= 0)
+#   y[i+off]  += S[off](i)^T  x[i]          (transposed, off > 0)
+#
+# The transposed contribution writes FORWARD (rows up to
+# ceil(off/128)+1 ahead). TPU Pallas grid steps run sequentially on the
+# core and scratch persists across them, so contributions that cross
+# the tile boundary are handed to the NEXT grid step through a
+# persistent VMEM carry buffer — no extra HBM traffic, no second pass.
+# VPU work is unchanged (each block still feeds 36 MAC terms per use);
+# HBM value traffic halves, so the matvec-equivalent bandwidth
+# (full-operator bytes / time) roughly doubles.
+
+
+def prepare_tiled_values_df_sym(
+    values: DF, offsets: Sequence[int], r_tile: int = 8
+) -> Tuple[jnp.ndarray, jnp.ndarray, int]:
+    """(hi, lo) flat [36K, Npad] -> upper-half tile-major arrays
+    [ntiles, 36*ku, r, 128] keeping only the off >= 0 slots."""
+    offsets = tuple(int(o) for o in offsets)
+    k = len(offsets)
+    rows36k, npad = values.hi.shape
+    assert rows36k == 36 * k
+    up = [s for s, o in enumerate(offsets) if o >= 0]
+    ku = len(up)
+    r = choose_r_tile(npad, r_tile)
+    nr = npad // LANES
+
+    def sel_tile(v):
+        v4 = v.reshape(36, k, npad)[:, np.asarray(up), :].reshape(36 * ku, npad)
+        return jnp.transpose(
+            v4.reshape(36 * ku, nr // r, r, LANES), (1, 0, 2, 3)
+        )
+
+    return sel_tile(values.hi), sel_tile(values.lo), r
+
+
+def _df_add(ah, al, bh, bl):
+    sh, se = _two_sum(ah, bh)
+    se = se + (al + bl)
+    return _two_sum(sh, se)
+
+
+def _kernel_sym(offs_up, ku, r_tile, hr, tail, tps,
+                x_hbm, vh_ref, vl_ref, out_ref, x_vmem, carry, sem):
+    i = pl.program_id(0)
+    n_tiles = pl.num_programs(0)
+    pay = tps * r_tile
+    win_rows = pay + hr
+    two = jnp.int32(2)
+
+    def window_dma(slot, step):
+        return pltpu.make_async_copy(
+            x_hbm.at[:, pl.ds(step * pay, win_rows), :],
+            x_vmem.at[slot],
+            sem.at[slot],
+        )
+
+    @pl.when(i == 0)
+    def _():
+        window_dma(jnp.int32(0), 0).start()
+        carry[...] = jnp.zeros_like(carry)
+
+    cur = jax.lax.rem(i, two)
+
+    @pl.when(i + 1 < n_tiles)
+    def _():
+        window_dma(jax.lax.rem(i + 1, two), i + 1).start()
+
+    window_dma(cur, i).wait()
+
+    # x slabs shifted by +off (window row 0 = payload row 0; forward only)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (16, pay, LANES), 2)
+    slabs = []
+    for off in offs_up:
+        q, m = divmod(off, LANES)
+        if m == 0:
+            slabs.append(x_vmem[cur, :, q : q + pay, :])
+        else:
+            a_rows = pltpu.roll(x_vmem[cur, :, q : q + pay, :], jnp.int32(LANES - m), 2)
+            b_rows = pltpu.roll(
+                x_vmem[cur, :, q + 1 : q + 1 + pay, :], jnp.int32(LANES - m), 2
+            )
+            slabs.append(jnp.where(lane < LANES - m, a_rows, b_rows))
+    x0 = slabs[0]  # off slot 0 must be the diagonal (offs_up[0] == 0)
+
+    lane2 = jax.lax.broadcasted_iota(jnp.int32, (r_tile, LANES), 1)
+    for a in range(6):
+        # full-payload accumulator (+tail rows that spill into the next
+        # tile); carry-in from the previous grid step lands in the head
+        acc_h = jnp.zeros((pay + tail, LANES), jnp.float32)
+        acc_h = acc_h.at[:tail].set(carry[0, a])
+        acc_l = jnp.zeros((pay + tail, LANES), jnp.float32)
+        acc_l = acc_l.at[:tail].set(carry[1, a])
+        for t in range(tps):
+            rsl = slice(t * r_tile, (t + 1) * r_tile)
+            # direct terms: y[a, rows] += sum_b S[off][a,b] x[b, rows+off]
+            dh = jnp.zeros((r_tile, LANES), jnp.float32)
+            dl = jnp.zeros((r_tile, LANES), jnp.float32)
+            for s, off in enumerate(offs_up):
+                slab = slabs[s]
+                for b in range(6):
+                    vh = vh_ref[t, (a * 6 + b) * ku + s, :, :]
+                    vl = vl_ref[t, (a * 6 + b) * ku + s, :, :]
+                    p, pe = _two_prod(vh, slab[b, rsl, :])
+                    pe = pe + (vh * slab[8 + b, rsl, :] + vl * slab[b, rsl, :])
+                    sh, se = _two_sum(dh, p)
+                    se = se + (dl + pe)
+                    dh, dl = _two_sum(sh, se)
+            acc_h, acc_l = _df_add(
+                acc_h,
+                acc_l,
+                jnp.zeros((pay + tail, LANES), jnp.float32).at[rsl].set(dh),
+                jnp.zeros((pay + tail, LANES), jnp.float32).at[rsl].set(dl),
+            )
+            # transposed terms: y[a, rows+off] += sum_b S[off][b,a] x[b, rows]
+            for s, off in enumerate(offs_up):
+                if off == 0:
+                    continue
+                th = jnp.zeros((r_tile, LANES), jnp.float32)
+                tl = jnp.zeros((r_tile, LANES), jnp.float32)
+                for b in range(6):
+                    vh = vh_ref[t, (b * 6 + a) * ku + s, :, :]
+                    vl = vl_ref[t, (b * 6 + a) * ku + s, :, :]
+                    p, pe = _two_prod(vh, x0[b, rsl, :])
+                    pe = pe + (vh * x0[8 + b, rsl, :] + vl * x0[b, rsl, :])
+                    sh, se = _two_sum(th, p)
+                    se = se + (tl + pe)
+                    th, tl = _two_sum(sh, se)
+                q, m = divmod(off, LANES)
+                base = t * r_tile + q
+                if m == 0:
+                    sh_h = jnp.zeros((pay + tail, LANES), jnp.float32)
+                    sh_h = sh_h.at[base : base + r_tile].set(th)
+                    sh_l = jnp.zeros((pay + tail, LANES), jnp.float32)
+                    sh_l = sh_l.at[base : base + r_tile].set(tl)
+                else:
+                    def shift(tt):
+                        rolled = pltpu.roll(tt, jnp.int32(m), 1)
+                        hi_part = jnp.where(lane2 >= m, rolled, 0.0)
+                        lo_part = jnp.where(lane2 < m, rolled, 0.0)
+                        out = jnp.zeros((pay + tail, LANES), jnp.float32)
+                        out = out.at[base : base + r_tile].set(hi_part)
+                        return out.at[base + 1 : base + 1 + r_tile].add(lo_part)
+
+                    sh_h = shift(th)
+                    sh_l = shift(tl)
+                acc_h, acc_l = _df_add(acc_h, acc_l, sh_h, sh_l)
+        carry[0, a] = acc_h[pay : pay + tail]
+        carry[1, a] = acc_l[pay : pay + tail]
+        out_ref[0, a, :, :] = acc_h[:pay]
+        out_ref[1, a, :, :] = acc_l[:pay]
+
+
+def stencil_spmv_pallas_df_sym(
+    vh_up, vl_up, x: DF, offsets: Sequence[int], interpret: bool = False,
+    tps: int = 0,
+) -> DF:
+    """y = A x streaming only the upper (off >= 0) half of the operator
+    (prepare_tiled_values_df_sym). Same 2^-45-class entrywise contract
+    as the full-storage kernel (different — still compensated —
+    summation order)."""
+    ntiles, rows36ku, r_tile, _ = vh_up.shape
+    offsets = tuple(int(o) for o in offsets)
+    offs_up = [o for o in offsets if o >= 0]
+    ku = len(offs_up)
+    assert rows36ku == 36 * ku and vl_up.shape == vh_up.shape
+    assert offs_up[0] == 0, "diagonal slot must be stored"
+    if tps <= 0:
+        tps = 2 if ntiles % 2 == 0 else 1
+    if ntiles % tps:
+        tps = 1
+    npad = ntiles * r_tile * LANES
+    nr = npad // LANES
+    pay = tps * r_tile
+    halo = max(offs_up)
+    tail = halo // LANES + 1
+    if tail > pay:
+        raise ValueError(
+            f"halo rows ({tail}) exceed the per-step payload ({pay}): "
+            "cross-tile carry only reaches one step ahead"
+        )
+    hr = _ceil_to(_ceil_to(halo, LANES) // LANES + 1, 8)
+
+    def rows3(v):
+        return v.reshape(6, nr, LANES)
+
+    x2 = jnp.concatenate(
+        [
+            jnp.pad(rows3(x.hi), ((0, 2), (0, hr), (0, 0))),
+            jnp.pad(rows3(x.lo), ((0, 2), (0, hr), (0, 0))),
+        ],
+        axis=0,
+    )
+
+    kernel = functools.partial(_kernel_sym, offs_up, ku, r_tile, hr, tail, tps)
+    y2 = pl.pallas_call(
+        kernel,
+        grid=(ntiles // tps,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(
+                (tps, 36 * ku, r_tile, LANES),
+                lambda i: (i, _z(), _z(), _z()),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (tps, 36 * ku, r_tile, LANES),
+                lambda i: (i, _z(), _z(), _z()),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (2, 6, pay, LANES), lambda i: (_z(), _z(), i, _z()),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((2, 6, nr, LANES), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, 16, pay + hr, LANES), jnp.float32),
+            pltpu.VMEM((2, 6, tail, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(x2, vh_up, vl_up)
+    return DF(y2[0].reshape(6, npad), y2[1].reshape(6, npad))

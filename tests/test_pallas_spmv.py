@@ -194,3 +194,38 @@ def test_pallas_df_flat_interpret_matches_xla_df():
     r64 = np.asarray(ref.hi, np.float64) + np.asarray(ref.lo, np.float64)
     g64 = np.asarray(got.hi, np.float64) + np.asarray(got.lo, np.float64)
     assert np.abs(g64 - r64).max() < 1e-13 * np.abs(r64).max()
+
+
+def test_pallas_df_sym_interpret_matches_xla_df():
+    """Symmetric-storage df kernel (upper-half slots only, transposed
+    contributions + cross-tile carry) vs the XLA df matvec, interpret
+    mode, quad (9-offset) and tri (7-offset) stencils."""
+    from fem_shell_tpu.ops.df import DF, df_stencil_matvec
+    from fem_shell_tpu.ops.pallas_spmv_df import (
+        prepare_tiled_values_df_sym,
+        stencil_spmv_pallas_df_sym,
+    )
+
+    import jax.numpy as jnp2
+
+    # quad with tps=1 (4 grid steps: maximum cross-tile carry action),
+    # tri with tps=2 (multi-tile payload; 7-offset stencil) — interpret
+    # mode costs ~90 s per kernel run, so one configuration each
+    for et, tps in (("q", 1), ("t", 2)):
+        sys64, _ = _operator(et, 16)
+        s = LargeShellSystem(sys64.mesh, MAT, dtype=jnp2.float64, chunk=64)
+        pair = s.assemble_df(strip_nodes=512, chunk=64)
+        npad = s.pattern.n_pad
+        rng = np.random.default_rng(11)
+        x = DF(
+            jnp.asarray(rng.normal(size=(6, npad)), jnp.float32),
+            jnp.asarray(rng.normal(size=(6, npad)) * 1e-8, jnp.float32),
+        )
+        ref = df_stencil_matvec(pair, x, s.offsets)
+        vh_u, vl_u, _ = prepare_tiled_values_df_sym(pair, s.offsets)
+        got = stencil_spmv_pallas_df_sym(vh_u, vl_u, x, s.offsets,
+                                         interpret=True, tps=tps)
+        r64 = np.asarray(ref.hi, np.float64) + np.asarray(ref.lo, np.float64)
+        g64 = np.asarray(got.hi, np.float64) + np.asarray(got.lo, np.float64)
+        scale = np.abs(r64).max()
+        assert np.abs(g64 - r64).max() < 1e-13 * scale, (et, tps)
