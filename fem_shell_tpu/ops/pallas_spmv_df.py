@@ -435,13 +435,23 @@ def _kernel_sym(offs_up, ku, r_tile, hr, tail, tps,
     x0 = slabs[0]  # off slot 0 must be the diagonal (offs_up[0] == 0)
 
     lane2 = jax.lax.broadcasted_iota(jnp.int32, (r_tile, LANES), 1)
+
+    def embed(x, lo):
+        # rows [lo : lo+x.shape[0]] of a zeroed (pay+tail, LANES) field.
+        # Static concatenate, NOT .at[slice].set: jnp scatter updates
+        # lower to the `scatter` primitive, which Mosaic TPU rejects
+        # (interpret mode masked this — r3 real-TPU lowering failure).
+        hi = pay + tail - lo - x.shape[0]
+        parts = ([jnp.zeros((lo, LANES), jnp.float32)] if lo else []) + [x]
+        if hi:
+            parts.append(jnp.zeros((hi, LANES), jnp.float32))
+        return jnp.concatenate(parts, 0) if len(parts) > 1 else x
+
     for a in range(6):
         # full-payload accumulator (+tail rows that spill into the next
         # tile); carry-in from the previous grid step lands in the head
-        acc_h = jnp.zeros((pay + tail, LANES), jnp.float32)
-        acc_h = acc_h.at[:tail].set(carry[0, a])
-        acc_l = jnp.zeros((pay + tail, LANES), jnp.float32)
-        acc_l = acc_l.at[:tail].set(carry[1, a])
+        acc_h = embed(carry[0, a], 0)
+        acc_l = embed(carry[1, a], 0)
         for t in range(tps):
             rsl = slice(t * r_tile, (t + 1) * r_tile)
             # direct terms: y[a, rows] += sum_b S[off][a,b] x[b, rows+off]
@@ -458,10 +468,7 @@ def _kernel_sym(offs_up, ku, r_tile, hr, tail, tps,
                     se = se + (dl + pe)
                     dh, dl = _two_sum(sh, se)
             acc_h, acc_l = _df_add(
-                acc_h,
-                acc_l,
-                jnp.zeros((pay + tail, LANES), jnp.float32).at[rsl].set(dh),
-                jnp.zeros((pay + tail, LANES), jnp.float32).at[rsl].set(dl),
+                acc_h, acc_l, embed(dh, t * r_tile), embed(dl, t * r_tile)
             )
             # transposed terms: y[a, rows+off] += sum_b S[off][b,a] x[b, rows]
             for s, off in enumerate(offs_up):
@@ -480,18 +487,14 @@ def _kernel_sym(offs_up, ku, r_tile, hr, tail, tps,
                 q, m = divmod(off, LANES)
                 base = t * r_tile + q
                 if m == 0:
-                    sh_h = jnp.zeros((pay + tail, LANES), jnp.float32)
-                    sh_h = sh_h.at[base : base + r_tile].set(th)
-                    sh_l = jnp.zeros((pay + tail, LANES), jnp.float32)
-                    sh_l = sh_l.at[base : base + r_tile].set(tl)
+                    sh_h = embed(th, base)
+                    sh_l = embed(tl, base)
                 else:
                     def shift(tt):
                         rolled = pltpu.roll(tt, jnp.int32(m), 1)
                         hi_part = jnp.where(lane2 >= m, rolled, 0.0)
                         lo_part = jnp.where(lane2 < m, rolled, 0.0)
-                        out = jnp.zeros((pay + tail, LANES), jnp.float32)
-                        out = out.at[base : base + r_tile].set(hi_part)
-                        return out.at[base + 1 : base + 1 + r_tile].add(lo_part)
+                        return embed(hi_part, base) + embed(lo_part, base + 1)
 
                     sh_h = shift(th)
                     sh_l = shift(tl)
