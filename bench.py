@@ -253,6 +253,45 @@ def bench_scale(n: int = 1024, et: str = "t"):
     nbytes_true = nbytes + x0.hi.size * 4 * 2 * 2
     out["pallas_df_spmv_gbs"] = round(iters * nbytes / dt / 1e9, 1)
     out["pallas_df_spmv_gbs_true"] = round(iters * nbytes_true / dt / 1e9, 1)
+
+    # symmetric-storage kernel (the production CG matvec on pair-path
+    # systems): streams only the off >= 0 slots, each block serving its
+    # direct AND transposed term. "eq" = full-pair bytes + x + y over
+    # the measured time — what a full-storage kernel would have to
+    # stream to match it (the roofline-comparable number).
+    from fem_shell_tpu.ops.assemble_grid import untile_values
+    from fem_shell_tpu.ops.pallas_spmv_df import (
+        prepare_tiled_values_df_sym,
+        stencil_spmv_pallas_df_sym,
+    )
+
+    if pair.hi.ndim == 4:
+        flat = DF(untile_values(pair.hi), untile_values(pair.lo))
+    else:
+        flat = pair
+    vh_u, vl_u, _ = jax.jit(
+        lambda f: prepare_tiled_values_df_sym(f, fine.offsets)
+    )(flat)
+    del flat
+
+    @jax.jit
+    def chain_s(vh, vl, x):
+        def body(i, c):
+            y = stencil_spmv_pallas_df_sym(vh, vl, c, fine.offsets)
+            s = jnp.max(jnp.abs(y.hi))
+            return DF(y.hi / s, y.lo / s)
+
+        y = jax.lax.fori_loop(0, iters, body, x)
+        return jnp.sum(y.hi)
+
+    float(chain_s(vh_u, vl_u, x0))  # warm
+    t0 = time.perf_counter()
+    float(chain_s(vh_u, vl_u, x0))
+    dt = time.perf_counter() - t0
+    out["pallas_df_spmv_sym_gbs_eq"] = round(iters * nbytes_true / dt / 1e9, 1)
+    out["pallas_df_spmv_sym_gbs_phys"] = round(
+        iters * (vh_u.size * 4 * 2 + x0.hi.size * 4 * 2 * 2) / dt / 1e9, 1
+    )
     return out
 
 

@@ -372,6 +372,7 @@ class MultigridShellSystem:
         class_operator: Optional[bool] = None,
         coarse_op: Optional[str] = None,
         cycle: str = "V",
+        sym_spmv: Optional[bool] = None,
     ):
         """``df_operator=True`` is the multi-million-element configuration:
         every level is strip-assembled into a df (two-f32) operator
@@ -439,6 +440,11 @@ class MultigridShellSystem:
                 and self._big
             )
         self.use_pallas = use_pallas
+        # symmetric-storage df CG matvec: stream only the off >= 0 half
+        # of the fine pair (each block serves its direct AND transposed
+        # term) — 645 vs 484 GB/s matvec-equivalent on the v5e (r3
+        # probe). Pair-path only (the class path streams no values).
+        self.sym_spmv = use_pallas if sym_spmv is None else bool(sym_spmv)
         # Pallas-resident df element kernels inside the grid assembly
         # (ops/pallas_elem.py): accelerator-only, opt-in
         self.elem_pallas = bool(elem_pallas) and jax.devices()[0].platform != "cpu"
@@ -621,6 +627,8 @@ class MultigridShellSystem:
         self._fine = self.levels[0]
         self._df_strip_nodes = strip_nodes
         self._df_chunk = min(chunk, 8192)
+        if assemble:
+            self._build_fine_sym()
 
         if assemble:
             self.levels[-1] = self._coarse_factor(self.levels[-1])
@@ -642,7 +650,20 @@ class MultigridShellSystem:
                     d = jnp.diagonal(dense)
                     s = jnp.where(d > 0, jax.lax.rsqrt(d), 1.0)
                     scaled = (dense * s[None, :] * s[:, None]).astype(jnp.float32)
-                    return jnp.linalg.cholesky(scaled), s.astype(jnp.float32)
+                    # eps cascade: after a deep f32 Galerkin RAP chain
+                    # (roof 1024^2 = 6 RAPs) the coarsest operator can
+                    # drift a hair non-SPD and the factor goes NaN —
+                    # which poisons EVERY V-cycle (r3: roof-scale CG
+                    # died at iteration 1). The scaled operator has unit
+                    # diagonal, so the shifts are relative; the first
+                    # finite factor wins. A 1e-3 shift on a
+                    # preconditioner-only coarse solve is harmless.
+                    eye = jnp.eye(scaled.shape[0], dtype=jnp.float32)
+                    chol = jnp.linalg.cholesky(scaled)
+                    for eps in (1e-5, 1e-3):
+                        c_eps = jnp.linalg.cholesky(scaled + eps * eye)
+                        chol = jnp.where(jnp.isfinite(chol).all(), chol, c_eps)
+                    return chol, s.astype(jnp.float32)
 
                 self._chol_jit = jax.jit(_factor)
             chol, s = self._chol_jit(c)
@@ -650,6 +671,45 @@ class MultigridShellSystem:
         dense = np.asarray(_densify(c), np.float64)
         inv = np.linalg.inv(dense)
         return dataclasses.replace(c, dense_inv=jnp.asarray(inv, self.dtype))
+
+    # ------------------------------------------------------------------
+    def _build_fine_sym(self):
+        """Symmetric-storage copy of the fine df pair for the outer CG
+        matvec (ops/pallas_spmv_df.stencil_spmv_pallas_df_sym): only the
+        off >= 0 slots are kept, so the CG streams ~55% of the operator
+        bytes per iteration. The full hi stays resident for the V-cycle
+        smoother and Galerkin RAP; net fine-operator memory goes from
+        2.0x hi (hi+lo) to ~2.14x."""
+        self._fine_sym = None
+        if not (
+            self.sym_spmv
+            and self._fine_df is not None
+            and self._fine_df.hi.ndim == 4
+        ):
+            return
+        offsets = self.levels[0].offsets
+        if sorted(-o for o in offsets) != sorted(offsets):
+            return  # structurally asymmetric stencil: keep full storage
+        # the sym kernel's cross-tile carry reaches one grid step ahead:
+        # halo rows must fit the per-step payload (tps * r_tile rows)
+        ntiles, _, r_tile, _ = self._fine_df.hi.shape
+        tps = 2 if ntiles % 2 == 0 else 1
+        if max(offsets) // 128 + 1 > tps * r_tile:
+            return
+        from fem_shell_tpu.ops.assemble_grid import untile_values
+        from fem_shell_tpu.ops.df import DF
+        from fem_shell_tpu.ops.pallas_spmv_df import prepare_tiled_values_df_sym
+
+        if not hasattr(self, "_sym_jit"):
+            def _conv(hi, lo, offs):
+                flat = DF(untile_values(hi), untile_values(lo))
+                vh, vl, _ = prepare_tiled_values_df_sym(flat, offs)
+                return vh, vl
+
+            self._sym_jit = jax.jit(_conv, static_argnums=(2,))
+        self._fine_sym = self._sym_jit(
+            self._fine_df.hi, self._fine_df.lo, offsets
+        )
 
     # ------------------------------------------------------------------
     def _rap_level(self, prev: _Level, sys_l, l: int):
@@ -798,6 +858,8 @@ class MultigridShellSystem:
         self.levels[-1] = c
         prof.mark("coarse/factor", c.chol if c.chol is not None else c.dense_inv)
         self._fine = self.levels[0]
+        self._build_fine_sym()
+        prof.mark("fine/sym", *(self._fine_sym or ()))
         prof.report()
         if hasattr(self, "_levels32"):
             del self._levels32  # stale f32 copies of the old values
@@ -1113,7 +1175,7 @@ class MultigridShellSystem:
         res = pcg_df(mv, b, rtol=rtol, maxiter=maxiter, apply_prec=prec)
         return df_to_f64(res.x), res.iters, res.residual
 
-    def _solve_df_impl_pair(self, fine_df, levels, forces_t64, rtol, maxiter):
+    def _solve_df_impl_pair(self, fine_df, fine_sym, levels, forces_t64, rtol, maxiter):
         """df outer CG over a strip-assembled df operator pair: f64-class
         operator accuracy at two-f32 storage/bandwidth.
 
@@ -1121,7 +1183,10 @@ class MultigridShellSystem:
         here: passing the fine hi as two separate jit arguments makes the
         compiler budget it twice (observed: 'Used 20.39G of 15.75G hbm'
         at the 10M-element scale even though both args alias one buffer).
-        """
+
+        ``fine_sym`` (optional (vh, vl)): symmetric-storage copy of the
+        pair — the CG matvec streams only the off >= 0 half (645 vs 484
+        GB/s matvec-equivalent, r3 probe)."""
         from fem_shell_tpu.ops.df import DF, df_from_f64, df_stencil_matvec, df_to_f64
         from fem_shell_tpu.solver_df import pcg_df
 
@@ -1129,7 +1194,11 @@ class MultigridShellSystem:
         levels = [fine] + list(levels[1:])
 
         b = df_from_f64(forces_t64 * fine.free_t.astype(jnp.float64))
-        if fine_df.hi.ndim == 4:  # tile-major pair => Pallas df kernel
+        if fine_sym is not None:
+            from fem_shell_tpu.ops.pallas_spmv_df import stencil_spmv_pallas_df_sym
+
+            mv = lambda x: stencil_spmv_pallas_df_sym(fine_sym[0], fine_sym[1], x, fine.offsets)  # noqa: E731
+        elif fine_df.hi.ndim == 4:  # tile-major pair => Pallas df kernel
             from fem_shell_tpu.ops.pallas_spmv_df import stencil_spmv_pallas_df
 
             mv = lambda x: stencil_spmv_pallas_df(fine_df.hi, fine_df.lo, x, fine.offsets)  # noqa: E731
@@ -1207,7 +1276,7 @@ class MultigridShellSystem:
                     if self._cdf is not None
                     else self._solve_df_impl_pair
                 )
-                nstat = 2 if self._cdf is not None else 3
+                nstat = 2 if self._cdf is not None else 4
                 self._solve_df_jit = jax.jit(
                     impl, static_argnums=(nstat, nstat + 1)
                 )
@@ -1225,7 +1294,8 @@ class MultigridShellSystem:
                         dataclasses.replace(self.levels[0], values=None)
                     ] + list(self.levels[1:])
                     x64, iters, res = self._solve_df_jit(
-                        self._fine_df, levels_arg, f_t, rtol, maxiter
+                        self._fine_df, getattr(self, "_fine_sym", None),
+                        levels_arg, f_t, rtol, maxiter
                     )
             self.last_iters = int(iters)
             self.last_residual = float(res)
@@ -1331,6 +1401,9 @@ class MultigridShellSystem:
         )
         self._fine = self.levels[0]
         self._class_pair_done = True
+        # the sym CG copy must track the swapped-in pair (else a later
+        # solve_df would run CG on the stale assembled operator)
+        self._build_fine_sym()
 
     def _inner_df_impl(self, fine_df, levels, b, rtol, maxiter, tf=False):
         """MG-preconditioned df CG with a df RHS (shared by the initial

@@ -391,7 +391,15 @@ def _df_add(ah, al, bh, bl):
     return _two_sum(sh, se)
 
 
-def _kernel_sym(offs_up, ku, r_tile, hr, tail, tps,
+def _kahan_add(ah, al, bh, bl):
+    # exact main channel, plain error channel (no per-add renorm): the
+    # error channel's own rounding is 2nd-order — same 2^-45-class
+    # entrywise contract as _df_add at ~2/3 the VPU ops
+    sh, se = _two_sum(ah, bh)
+    return sh, al + (se + bl)
+
+
+def _kernel_sym(offs_up, ku, r_tile, hr, tail, tps, kahan,
                 x_hbm, vh_ref, vl_ref, out_ref, x_vmem, carry, sem):
     i = pl.program_id(0)
     n_tiles = pl.num_programs(0)
@@ -447,6 +455,11 @@ def _kernel_sym(offs_up, ku, r_tile, hr, tail, tps,
             parts.append(jnp.zeros((hi, LANES), jnp.float32))
         return jnp.concatenate(parts, 0) if len(parts) > 1 else x
 
+    kmask = 7 if kahan is True else int(kahan)
+    merge_d = _kahan_add if kmask & 1 else _df_add
+    merge_t = _kahan_add if kmask & 2 else _df_add
+    merge_x = _kahan_add if kmask & 4 else _df_add
+
     for a in range(6):
         # full-payload accumulator (+tail rows that spill into the next
         # tile); carry-in from the previous grid step lands in the head
@@ -464,10 +477,8 @@ def _kernel_sym(offs_up, ku, r_tile, hr, tail, tps,
                     vl = vl_ref[t, (a * 6 + b) * ku + s, :, :]
                     p, pe = _two_prod(vh, slab[b, rsl, :])
                     pe = pe + (vh * slab[8 + b, rsl, :] + vl * slab[b, rsl, :])
-                    sh, se = _two_sum(dh, p)
-                    se = se + (dl + pe)
-                    dh, dl = _two_sum(sh, se)
-            acc_h, acc_l = _df_add(
+                    dh, dl = merge_d(dh, dl, p, pe)
+            acc_h, acc_l = merge_x(
                 acc_h, acc_l, embed(dh, t * r_tile), embed(dl, t * r_tile)
             )
             # transposed terms: y[a, rows+off] += sum_b S[off][b,a] x[b, rows]
@@ -481,9 +492,7 @@ def _kernel_sym(offs_up, ku, r_tile, hr, tail, tps,
                     vl = vl_ref[t, (b * 6 + a) * ku + s, :, :]
                     p, pe = _two_prod(vh, x0[b, rsl, :])
                     pe = pe + (vh * x0[8 + b, rsl, :] + vl * x0[b, rsl, :])
-                    sh, se = _two_sum(th, p)
-                    se = se + (tl + pe)
-                    th, tl = _two_sum(sh, se)
+                    th, tl = merge_t(th, tl, p, pe)
                 q, m = divmod(off, LANES)
                 base = t * r_tile + q
                 if m == 0:
@@ -498,7 +507,10 @@ def _kernel_sym(offs_up, ku, r_tile, hr, tail, tps,
 
                     sh_h = shift(th)
                     sh_l = shift(tl)
-                acc_h, acc_l = _df_add(acc_h, acc_l, sh_h, sh_l)
+                acc_h, acc_l = merge_x(acc_h, acc_l, sh_h, sh_l)
+        if kmask:
+            # one final renormalization so y is a proper df pair
+            acc_h, acc_l = _two_sum(acc_h, acc_l)
         carry[0, a] = acc_h[pay : pay + tail]
         carry[1, a] = acc_l[pay : pay + tail]
         out_ref[0, a, :, :] = acc_h[:pay]
@@ -507,12 +519,14 @@ def _kernel_sym(offs_up, ku, r_tile, hr, tail, tps,
 
 def stencil_spmv_pallas_df_sym(
     vh_up, vl_up, x: DF, offsets: Sequence[int], interpret: bool = False,
-    tps: int = 0,
+    tps: int = 0, kahan: bool = False,
 ) -> DF:
     """y = A x streaming only the upper (off >= 0) half of the operator
     (prepare_tiled_values_df_sym). Same 2^-45-class entrywise contract
     as the full-storage kernel (different — still compensated —
-    summation order)."""
+    summation order). ``kahan=True`` uses the cheaper Kahan-channel
+    accumulation (the sym kernel is VPU-bound: each streamed block does
+    both its direct and transposed term)."""
     ntiles, rows36ku, r_tile, _ = vh_up.shape
     offsets = tuple(int(o) for o in offsets)
     offs_up = [o for o in offsets if o >= 0]
@@ -546,7 +560,9 @@ def stencil_spmv_pallas_df_sym(
         axis=0,
     )
 
-    kernel = functools.partial(_kernel_sym, offs_up, ku, r_tile, hr, tail, tps)
+    kernel = functools.partial(
+        _kernel_sym, offs_up, ku, r_tile, hr, tail, tps, kahan
+    )
     y2 = pl.pallas_call(
         kernel,
         grid=(ntiles // tps,),

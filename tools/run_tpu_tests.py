@@ -71,8 +71,16 @@ with jax.default_matmul_precision("highest"):
         lambda vh, vl, x: stencil_spmv_pallas_df(vh, vl, x, s.offsets))(vh, vl, x)))
     got_tf = np.asarray(df_to_f64(jax.jit(
         lambda v, x: stencil_spmv_pallas_df_flat(v, x, s.offsets, tf=True))(pair, x)))
+from fem_shell_tpu.ops.pallas_spmv_df import (
+    prepare_tiled_values_df_sym, stencil_spmv_pallas_df_sym)
+with jax.default_matmul_precision("highest"):
+    vh_u, vl_u, _ = prepare_tiled_values_df_sym(pair, s.offsets)
+    got_s = np.asarray(df_to_f64(jax.jit(
+        lambda vh, vl, x: stencil_spmv_pallas_df_sym(vh, vl, x, s.offsets)
+    )(vh_u, vl_u, x)))
 scale = np.abs(ref).max()
-for name, g in (("flat", got_f), ("tiled", got_t), ("tf", got_tf)):
+for name, g in (("flat", got_f), ("tiled", got_t), ("tf", got_tf),
+                ("sym", got_s)):
     err = np.abs(g - ref).max() / scale
     print(f"{name} vs XLA df: rel {err:.2e}")
     assert err < 1e-9, f"{name} kernel mismatch: {err}"

@@ -90,8 +90,17 @@ def main():
               f"{phys_bytes / dt / 1e9:6.1f} GB/s  matvec-equivalent "
               f"{full_bytes / dt / 1e9:6.1f} GB/s", flush=True)
 
+    import functools
+
     bench("full", stencil_spmv_pallas_df, (pair.hi, pair.lo), full_bytes)
     bench("sym", stencil_spmv_pallas_df_sym, (vh_u, vl_u), sym_bytes)
+    for tps in (2, 4):
+        for kahan in (False, True):
+            fn = functools.partial(
+                stencil_spmv_pallas_df_sym, tps=tps, kahan=kahan
+            )
+            bench(f"sym t{tps}{'k' if kahan else ''}", fn, (vh_u, vl_u),
+                  sym_bytes)
 
     # accuracy vs f64 oracle
     with jax.default_matmul_precision("highest"):
