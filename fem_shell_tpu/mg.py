@@ -418,6 +418,13 @@ class MultigridShellSystem:
         if smoother not in ("jacobi", "chebyshev"):
             raise ValueError(f"unknown smoother {smoother!r}")
         self.smoother = smoother
+        # chebyshev smoothing interval = [cheby_lo, 1.05] * lam_max.
+        # 0.25 is the classic AMG choice (assumes coarse correction
+        # handles the lowest quarter); curved shells (Scordelis-Lo roof)
+        # have fine bending modes the coarse FACET surface represents
+        # poorly — widening the interval (smaller cheby_lo, higher
+        # degree) trades smoothing work for V-cycle strength there.
+        self.cheby_lo = 0.25
         if cycle not in ("V", "W"):
             raise ValueError(f"unknown cycle {cycle!r}")
         self.cycle = cycle
@@ -945,7 +952,7 @@ class MultigridShellSystem:
         real polynomial in the D^-1-preconditioned operator, so the
         V-cycle remains an SPD preconditioner for CG."""
         lam = lvl.lam.astype(lvl.inv_diag.dtype) * 1.05
-        lmin = 0.25 * lam
+        lmin = self.cheby_lo * lam
         theta = 0.5 * (lam + lmin)
         delta = 0.5 * (lam - lmin)
         sigma = theta / delta
@@ -1085,7 +1092,7 @@ class MultigridShellSystem:
 
         deg = self.nu_smooth
         lam = lvl.lam.astype(jnp.float32) * 1.05
-        lmin = 0.25 * lam
+        lmin = self.cheby_lo * lam
         theta = 0.5 * (lam + lmin)
         delta = 0.5 * (lam - lmin)
         sigma = theta / delta
