@@ -1144,6 +1144,11 @@ class MultigridShellSystem:
                 free_t=l.free_t.astype(jnp.float32),
                 inv_diag=l.inv_diag.astype(jnp.float32),
                 dense_inv=None if l.dense_inv is None else l.dense_inv.astype(jnp.float32),
+                # omega/lam are f64 scalars in f64 mode — left uncast
+                # they promote the smoother update (and thence the CG
+                # carry) to f64 under x64
+                omega=None if l.omega is None else l.omega.astype(jnp.float32),
+                lam=None if l.lam is None else l.lam.astype(jnp.float32),
             )
             for l in self.levels
         ]

@@ -229,17 +229,28 @@ def _kernel_df2(offsets, k, r_tile, hr, nz, xh_hbm, xl_hbm, c_ref, out_ref,
 
 @functools.lru_cache(maxsize=None)
 class _PadGridSpec:
-    """Static layout parameters for one (nyp, nxp) level grid."""
+    """Static layout parameters for one (nyp, nxp) level grid.
 
-    def __init__(self, nyp: int, nxp: int):
+    ``row_mult`` batches grid rows per kernel step: r_tile = 8q rows
+    (8 grid rows) ran 129 grid steps at 1024^2 and the per-step Mosaic
+    pipeline overhead dominated (the class matvec measured 3.6 ms
+    against a sub-1 ms roofline, r3 probe — the same per-step-overhead
+    signature the df SpMV's tps batching fixed). The default targets
+    ~32-40 steps; None computes it, an int pins it (probes)."""
+
+    def __init__(self, nyp: int, nxp: int, row_mult: "int | None" = None):
         self.nyp, self.nxp = nyp, nxp
         self.pyp, self.pxp = nyp + 2, nxp + 2
         self.pxq = _ceil_to(self.pxp, LANES)
         self.q = self.pxq // LANES
-        self.pyp_pad = _ceil_to(self.pyp, 8)
+        if row_mult is None:
+            steps0 = _ceil_to(self.pyp, 8) // 8
+            row_mult = min(16, max(1, round(steps0 / 36)))
+        self.row_mult = row_mult
+        self.pyp_pad = _ceil_to(self.pyp, 8 * row_mult)
         self.nf2 = self.pyp_pad * self.pxq
         self.nr = self.nf2 // LANES
-        self.r_tile = 8 * self.q
+        self.r_tile = 8 * self.q * row_mult
         halo = self.pxq + 1
         self.hr = _ceil_to(_ceil_to(halo, LANES) // LANES + 1, 8)
 
