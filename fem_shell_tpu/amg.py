@@ -258,8 +258,15 @@ def _rap(lvl: _HostLevel, pcol, pblk, n_agg, chunk=65536):
     return _HostLevel(adj_c, blk_c, n_agg)
 
 
+@jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class _DeviceLevel:
+    """Registered as a pytree (arrays = children, omega/n_coarse = aux)
+    so the level stack can cross the jit boundary as an ARGUMENT — as
+    closure constants the hierarchy is embedded into the serialized HLO,
+    which blows the remote-compile request size limit at ~1M DOF
+    (HTTP 413, r3 AMG scale probe)."""
+
     adj: jnp.ndarray  # [n, K]
     blocks: jnp.ndarray  # [n, K, 6, 6]
     inv_diag: jnp.ndarray  # [n, 6, 6] block-Jacobi inverse
@@ -269,6 +276,20 @@ class _DeviceLevel:
     n_coarse: int = 0
     chol: Optional[jnp.ndarray] = None  # coarsest
     chol_scale: Optional[jnp.ndarray] = None
+
+    _CHILDREN = ("adj", "blocks", "inv_diag", "pcol", "pblk", "chol",
+                 "chol_scale")
+
+    def tree_flatten(self):
+        return (
+            tuple(getattr(self, f) for f in self._CHILDREN),
+            (self.omega, self.n_coarse),
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        kw = dict(zip(cls._CHILDREN, children))
+        return cls(omega=aux[0], n_coarse=aux[1], **kw)
 
 
 class AMGShellSystem:
@@ -428,7 +449,7 @@ class AMGShellSystem:
                 dl.chol_scale = jnp.asarray(sc, dtype)
             self.levels.append(dl)
 
-        self._solve_jit = jax.jit(self._solve_impl, static_argnums=(1, 2))
+        self._solve_jit = jax.jit(self._solve_impl, static_argnums=(2, 3))
 
     # ------------------------------------------------------------------
     # device-side pieces
@@ -442,8 +463,8 @@ class AMGShellSystem:
             x = x + dl.omega * jnp.einsum("nab,nb->na", dl.inv_diag, r)
         return x
 
-    def _vcycle(self, li, b):
-        dl = self.levels[li]
+    def _vcycle(self, levels, li, b):
+        dl = levels[li]
         if dl.chol is not None:
             rhs = (dl.chol_scale * b.reshape(-1))[:, None]
             y = jax.lax.linalg.triangular_solve(
@@ -460,30 +481,29 @@ class AMGShellSystem:
         contrib = jnp.einsum("npab,na->npb", dl.pblk, r)
         rc = jnp.zeros((dl.n_coarse, 6), b.dtype)
         rc = rc.at[dl.pcol.reshape(-1)].add(contrib.reshape(-1, 6))
-        ec = self._vcycle(li + 1, rc)
-        if self.cycle == "W" and self.levels[li + 1].chol is None:
+        ec = self._vcycle(levels, li + 1, rc)
+        if self.cycle == "W" and levels[li + 1].chol is None:
             # second coarse visit on the updated residual
-            rc2 = rc - self._mv(self.levels[li + 1], ec)
-            ec = ec + self._vcycle(li + 1, rc2)
+            rc2 = rc - self._mv(levels[li + 1], ec)
+            ec = ec + self._vcycle(levels, li + 1, rc2)
         # prolong: e = P e_c
         e = jnp.einsum("npab,npb->na", dl.pblk, ec[dl.pcol])
         x = x + e
         return self._smooth(dl, x, b, self.nu_smooth)
 
-    def _solve_impl(self, b, rtol, maxiter):
-        dl = self.levels[0]
+    def _solve_impl(self, levels, b, rtol, maxiter):
+        dl = levels[0]
         mv = lambda x: self._mv(dl, x)  # noqa: E731
-        prec = lambda r: self._vcycle(0, r)  # noqa: E731
+        prec = lambda r: self._vcycle(levels, 0, r)  # noqa: E731
         return pcg(mv, b, rtol=rtol, maxiter=maxiter, apply_prec=prec)
 
     # ------------------------------------------------------------------
     # df production path: two-f32 outer CG on the scaled operator,
     # AMG cycle (in self.dtype, f32 recommended) as the preconditioner
     # ------------------------------------------------------------------
-    def _mv_df(self, x):
+    def _mv_df(self, vals, adj, x):
         from fem_shell_tpu.ops.df import DF, df_add, two_prod
 
-        vals, adj = self._fine_df, self._adj0
         k = adj.shape[1]
         xg_h = x.hi[adj]  # [n, K, 6]
         xg_l = x.lo[adj]
@@ -499,15 +519,16 @@ class AMGShellSystem:
                 acc = df_add(acc, DF(p, pe))
         return acc
 
-    def _solve_df_impl(self, b, rtol, maxiter):
+    def _solve_df_impl(self, fine_df, adj, levels, b, rtol, maxiter):
         from fem_shell_tpu.ops.df import DF
         from fem_shell_tpu.solver_df import pcg_df
 
         def prec(r):
-            z = self._vcycle(0, r.hi.astype(self.dtype))
+            z = self._vcycle(levels, 0, r.hi.astype(self.dtype))
             return DF(z.astype(jnp.float32), jnp.zeros_like(r.lo))
 
-        return pcg_df(self._mv_df, b, rtol=rtol, maxiter=maxiter,
+        mv = lambda x: self._mv_df(fine_df, adj, x)  # noqa: E731
+        return pcg_df(mv, b, rtol=rtol, maxiter=maxiter,
                       apply_prec=prec)
 
     def solve_df(self, forces, rtol: float = 1e-10, maxiter: int = 2000):
@@ -519,27 +540,27 @@ class AMGShellSystem:
         if self._fine_df is None:
             raise ValueError("construct AMGShellSystem with df=True for solve_df")
         if not hasattr(self, "_solve_df_jit"):
-            self._solve_df_jit = jax.jit(self._solve_df_impl, static_argnums=(2,))
+            self._solve_df_jit = jax.jit(self._solve_df_impl, static_argnums=(5,))
         n = self.mesh.n_nodes
         f = self.sys._forces_in(forces)[:n]
         free = np.asarray(self.sys.free_t.T[:n], bool)
         b64 = jnp.asarray(f * free * self._s_df, jnp.float64)
         with jax.default_matmul_precision("highest"):
-            res = self._solve_df_jit(df_from_f64(b64), rtol, maxiter)
+            res = self._solve_df_jit(self._fine_df, self._adj0, self.levels, df_from_f64(b64), rtol, maxiter)
         self.last_iters = int(res.iters)
         self.last_residual = float(res.residual)
         x64 = np.asarray(df_to_f64(res.x)) * self._s_df
         return self.sys._solution_out(x64)
 
     # ------------------------------------------------------------------
-    def _resid_df_impl(self, x, b):
+    def _resid_df_impl(self, fine_df, adj, e32, x, b):
         """True residual r = b - A_df x - E x against the f64 scaled
         operator (E-corrected, see large.solve_df_refined)."""
         from fem_shell_tpu.ops.df import DF, df_add, df_dot_f64, df_neg
 
-        y = self._mv_df(x)
+        y = self._mv_df(fine_df, adj, x)
         r = df_add(b, df_neg(y))
-        ey = jnp.einsum("nkab,nkb->na", self._e32, x.hi[self._adj0])
+        ey = jnp.einsum("nkab,nkb->na", e32, x.hi[adj])
         r = df_add(r, DF(-ey, jnp.zeros_like(ey)))
         rn = jnp.sqrt(df_dot_f64(r, r))
         bn = jnp.sqrt(df_dot_f64(b, b))
@@ -564,7 +585,7 @@ class AMGShellSystem:
         if self._fine_df is None:
             raise ValueError("construct AMGShellSystem with df=True")
         if not hasattr(self, "_solve_df_jit"):
-            self._solve_df_jit = jax.jit(self._solve_df_impl, static_argnums=(2,))
+            self._solve_df_jit = jax.jit(self._solve_df_impl, static_argnums=(5,))
         if jit_residual:
             if not hasattr(self, "_resid_df_jit"):
                 self._resid_df_jit = jax.jit(self._resid_df_impl)
@@ -577,11 +598,11 @@ class AMGShellSystem:
         free = np.asarray(self.sys.free_t.T[:n], bool)
         b = df_from_f64(jnp.asarray(f * free * self._s_df, jnp.float64))
         with jax.default_matmul_precision("highest"):
-            res = self._solve_df_jit(b, float(inner_rtol), int(inner_maxiter))
+            res = self._solve_df_jit(self._fine_df, self._adj0, self.levels, b, float(inner_rtol), int(inner_maxiter))
             x, total = res.x, int(res.iters)
             hist = []
             for _ in range(n_refine):
-                r, rn = res_fn(x, b)
+                r, rn = res_fn(self._fine_df, self._adj0, self._e32, x, b)
                 rn = float(rn)
                 hist.append(rn)
                 if verbose:
@@ -591,7 +612,7 @@ class AMGShellSystem:
                     break
                 if len(hist) > 1 and rn > 0.7 * hist[-2]:
                     break  # representation floor (benign)
-                dres = self._solve_df_jit(r, float(inner_rtol), int(inner_maxiter))
+                dres = self._solve_df_jit(self._fine_df, self._adj0, self.levels, r, float(inner_rtol), int(inner_maxiter))
                 x = df_add(x, dres.x)
                 total += int(dres.iters)
             x64 = np.asarray(df_to_f64(x)) * self._s_df
@@ -610,7 +631,7 @@ class AMGShellSystem:
         if self._s_df is not None:  # hierarchy is scaled (df=True)
             b = b * jnp.asarray(self._s_df, self.dtype)
         with jax.default_matmul_precision("highest"):
-            res: CGResult = self._solve_jit(b, rtol, maxiter)
+            res: CGResult = self._solve_jit(self.levels, b, rtol, maxiter)
         self.last_cg = res
         self.last_iters = int(res.iters)
         self.last_residual = float(res.residual)

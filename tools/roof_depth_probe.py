@@ -38,29 +38,42 @@ def run(n=64, iters=25):
     while m % 2 == 0 and m > 8:
         m //= 2
         max_depth += 1
+    mg64 = MultigridShellSystem(
+        mesh, SCORDELIS_LO_MATERIAL, dtype=jnp.float64,
+        df_operator=False, n_levels=2, coarse_op="galerkin",
+    )
+    fine = mg64.levels[0]
+    b = np.zeros((fine.npad, 6))
+    b[: fine.nyp * fine.nxp] = np.asarray(forces)
+    b = jnp.asarray(b.T) * fine.free_t
+
     for depth in range(2, max_depth + 1):
-        for sm, f64cycle in (("jacobi", True), ("jacobi", False),
-                             ("chebyshev", False)):
+        # three cycle variants against the SAME f64 reference operator:
+        #   f64  — pure f64 cycle (exact-arithmetic / algorithm check)
+        #   f32c — f64 build, levels cast to f32 (dense_inv cast: the
+        #          worst-case coarse solve)
+        #   prod — dtype=f32 production build (diagonally SCALED f32
+        #          coarsest Cholesky — what the roof scale path runs)
+        for sm, variant in (("jacobi", "f64"), ("jacobi", "f32c"),
+                            ("jacobi", "prod"), ("chebyshev", "prod")):
             t0 = time.perf_counter()
             mg = MultigridShellSystem(
-                mesh, SCORDELIS_LO_MATERIAL, dtype=jnp.float64,
+                mesh, SCORDELIS_LO_MATERIAL,
+                dtype=jnp.float32 if variant == "prod" else jnp.float64,
                 df_operator=False, smoother=sm, n_levels=depth,
                 coarse_op="galerkin",
             )
-            fine = mg.levels[0]
-            if f64cycle:
-                lvls = mg.levels  # pure-f64 cycle: exact-arithmetic check
-            else:
+            if variant == "f64":
+                lvls = mg.levels
+            elif variant == "f32c":
                 mg._ensure_f32_levels()
-                lvls = mg._levels32  # production-precision f32 cycle
-
-            b = np.zeros((fine.npad, 6))
-            b[: fine.nyp * fine.nxp] = np.asarray(forces)
-            b = jnp.asarray(b.T) * fine.free_t
+                lvls = mg._levels32
+            else:
+                lvls = mg.levels  # f32 values + scaled chol coarsest
 
             @jax.jit
             def step(x, r):
-                rz = r.astype(jnp.float32) if not f64cycle else r
+                rz = r if variant == "f64" else r.astype(jnp.float32)
                 z = mg._vcycle(lvls, 0, rz).astype(jnp.float64)
                 x = x + z
                 r = b - soa_matvec(fine.values, x, offsets=fine.offsets)
@@ -77,7 +90,7 @@ def run(n=64, iters=25):
                 prev = rn
             rho = float(np.median(hist[-8:]))
             print(
-                f"# depth={depth} {sm}{'/f64' if f64cycle else '/f32'}: rho={rho:.4f} "
+                f"# depth={depth} {sm}/{variant}: rho={rho:.4f} "
                 f"final_rel={prev / float(jnp.linalg.norm(b)):.3e} "
                 f"({time.perf_counter()-t0:.0f}s)",
                 flush=True,
