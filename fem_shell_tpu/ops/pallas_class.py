@@ -231,21 +231,19 @@ def _kernel_df2(offsets, k, r_tile, hr, nz, xh_hbm, xl_hbm, c_ref, out_ref,
 class _PadGridSpec:
     """Static layout parameters for one (nyp, nxp) level grid.
 
-    ``row_mult`` batches grid rows per kernel step: r_tile = 8q rows
-    (8 grid rows) ran 129 grid steps at 1024^2 and the per-step Mosaic
-    pipeline overhead dominated (the class matvec measured 3.6 ms
-    against a sub-1 ms roofline, r3 probe — the same per-step-overhead
-    signature the df SpMV's tps batching fixed). The default targets
-    ~32-40 steps; None computes it, an int pins it (probes)."""
+    ``row_mult`` batches grid rows per kernel step (probe knob,
+    tools/pad_rowmult_probe.py). Measured on the v5e at 1024^2: the
+    class matvec is INVARIANT to it (2.32 ms at 129 steps, 2.33 at 33)
+    — per-step pipeline overhead is NOT the bottleneck (unlike the df
+    SpMV, whose tps batching helped); the remaining gap to the ~0.3 ms
+    roofline is per-op codegen (scalar-broadcast FMA / roll throughput),
+    and row_mult >= 8 OOMs the 16 MB scoped VMEM. Default stays 1."""
 
-    def __init__(self, nyp: int, nxp: int, row_mult: "int | None" = None):
+    def __init__(self, nyp: int, nxp: int, row_mult: int = 1):
         self.nyp, self.nxp = nyp, nxp
         self.pyp, self.pxp = nyp + 2, nxp + 2
         self.pxq = _ceil_to(self.pxp, LANES)
         self.q = self.pxq // LANES
-        if row_mult is None:
-            steps0 = _ceil_to(self.pyp, 8) // 8
-            row_mult = min(16, max(1, round(steps0 / 36)))
         self.row_mult = row_mult
         self.pyp_pad = _ceil_to(self.pyp, 8 * row_mult)
         self.nf2 = self.pyp_pad * self.pxq
