@@ -371,7 +371,7 @@ class MultigridShellSystem:
         elem_pallas: bool = False,
         class_operator: Optional[bool] = None,
         coarse_op: Optional[str] = None,
-        cycle: str = "V",
+        cycle: Optional[str] = None,
         sym_spmv: Optional[bool] = None,
     ):
         """``df_operator=True`` is the multi-million-element configuration:
@@ -425,9 +425,9 @@ class MultigridShellSystem:
         # poorly — widening the interval (smaller cheby_lo, higher
         # degree) trades smoothing work for V-cycle strength there.
         self.cheby_lo = 0.25
-        if cycle not in ("V", "W"):
+        if cycle not in (None, "V", "W"):
             raise ValueError(f"unknown cycle {cycle!r}")
-        self.cycle = cycle
+        self.cycle = cycle  # None = auto, resolved once coarse_op is known
         _n_elem_fine = len(mesh.tri) + len(mesh.quad)
         # "big" regime: grid-df assembly + Pallas matvecs win above
         # ~10^5 elements; below, the per-dispatch overhead of the
@@ -469,6 +469,14 @@ class MultigridShellSystem:
         if coarse_op not in ("rediscretize", "galerkin"):
             raise ValueError(f"unknown coarse_op {coarse_op!r}")
         self.coarse_op = coarse_op
+        if self.cycle is None:
+            # curved (Galerkin) hierarchies weaken FAST with depth even
+            # in exact arithmetic (roof two-grid rho 0.77 -> 0.93 at
+            # depth 3 -> 0.98 at depth 4, tools/roof_depth_probe.py) —
+            # gamma=2 bounds the recursion loss at ~two-grid quality for
+            # a bounded (~2x) cost. Flat rediscretized hierarchies stay
+            # near-mesh-independent with the plain V-cycle.
+            self.cycle = "W" if coarse_op == "galerkin" else "V"
         if coarse_op == "galerkin" and class_operator:
             raise ValueError(
                 "coarse_op='galerkin' needs materialized fine values as the "
