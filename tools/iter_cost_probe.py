@@ -91,15 +91,16 @@ def main():
 
     timed("pad df matvec", mv_chain, x2)
 
-    # (b) pad V-cycle
-    def vc_chain(x2):
+    # (b) pad V-cycle — levels cross the jit boundary as ARGUMENTS
+    # (closure constants embed in the HLO -> remote 413 at this scale)
+    def vc_chain(levels, x2):
         c = x2
         for _ in range(ITERS):
-            z = mg._vcycle_pad_carry(mg.levels, c)
+            z = mg._vcycle_pad_carry(levels, c)
             c = z / jnp.max(jnp.abs(z))
         return jnp.sum(c)
 
-    timed("pad V-cycle (full)", vc_chain, x2)
+    timed("pad V-cycle (full)", vc_chain, mg.levels, x2)
 
     # (c) CG vector ops: pcg_df with identity prec and trivial mv
     from fem_shell_tpu.solver_df import pcg_df
