@@ -132,8 +132,11 @@ def phase_cpu(n, et):
         "center_err_vs_analytic": abs(w_c - GOLDEN) / GOLDEN,
     }
     print(json.dumps(payload), flush=True)
-    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                        f"FULLFIELD_AUDIT_{et}{n}.json")
+    out_dir = os.environ.get(
+        "FULLFIELD_OUT",
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    path = os.path.join(out_dir, f"FULLFIELD_AUDIT_{et}{n}.json")
     with open(path, "w") as f:
         json.dump(payload, f)
         f.write("\n")

@@ -486,6 +486,53 @@ print("OK")
 """
 
 
+_FULLFIELD_SCRIPT = r"""
+# Full-field accuracy of the refined production solve (VERDICT r2 weak
+# #4: forward error was center-spot-checked only). TPU phase solves at
+# n=96; the longdouble-refined CPU reference then runs in a pure-host
+# subprocess (the tunnel is single-client; PYTHONPATH=/root/repo without
+# the axon sitecustomize never opens it), and the max-norm relative
+# error of the WHOLE displacement field is asserted.
+import json
+import os
+import subprocess
+import sys
+import tempfile
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+import jax
+if jax.devices()[0].platform == "cpu":
+    print("SKIP: no accelerator")
+    raise SystemExit(0)
+import importlib.util
+spec = importlib.util.spec_from_file_location(
+    "fullfield_audit", "/root/repo/tools/fullfield_audit.py")
+fa = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(fa)
+fa.phase_tpu(96, "t")
+out_dir = tempfile.mkdtemp(prefix="fullfield_")
+env = dict(os.environ)
+env["PYTHONPATH"] = "/root/repo"
+env["JAX_PLATFORMS"] = "cpu"
+env["FULLFIELD_OUT"] = out_dir
+r = subprocess.run(
+    [sys.executable, "/root/repo/tools/fullfield_audit.py", "cpu", "96", "t"],
+    env=env, capture_output=True, text=True, timeout=1200)
+sys.stdout.write(r.stdout)
+assert r.returncode == 0, r.stderr[-2000:]
+with open(os.path.join(out_dir, "FULLFIELD_AUDIT_t96.json")) as f:
+    audit = json.load(f)
+err = audit["fullfield_err"]
+# measured family: 5.0e-8 at n=512 (FULLFIELD_AUDIT_t512.json) with the
+# df floor GROWING with kappa ~ n^2 — n=96 must sit comfortably inside
+print(f"fullfield: n=96 max-norm rel err {err:.2e} "
+      f"(tpu true res {audit['tpu_true_residual']:.2e}, "
+      f"ref res {audit['ref_true_residual']:.2e})")
+assert audit["ref_true_residual"] < 1e-10, audit
+assert err < 3e-7, f"full-field error out of family: {err:.3e}"
+print("OK")
+"""
+
+
 def checks():
     from test_dfk import _TPU_PARITY_SCRIPT as dfk_script
     from test_pallas_spmv import _TPU_PARITY_SCRIPT as pallas_script
@@ -500,6 +547,7 @@ def checks():
         "mg-df": _MGDF_SCRIPT,
         "class-mv": _CLASSMV_SCRIPT,
         "refined": _REFINED_SCRIPT,
+        "fullfield": _FULLFIELD_SCRIPT,
     }
 
 
