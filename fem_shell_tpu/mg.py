@@ -928,7 +928,20 @@ class MultigridShellSystem:
         return jnp.clip(4.0 / (3.0 * lam), 0.2, 1.0).astype(lvl.inv_diag.dtype), lam
 
     def _power_lambda(self, lvl: _Level):
-        """Traceable lambda_max(D^-1 A) power iteration for one level."""
+        """Traceable lambda_max(D^-1 A) UPPER estimate for one level.
+
+        Power iteration on the symmetrized S = D^-1/2 A D^-1/2 (same
+        spectrum as D^-1 A), returning the Rayleigh quotient theta PLUS
+        the Ritz residual norm ||S v - theta v||. A plain power/norm
+        estimate is a LOWER bound on lambda_max, and the Chebyshev
+        polynomial explodes outside its interval — at roof-1024^2 the
+        15-iter estimate was ~6%+ low on the Galerkin levels, which made
+        the smoother (hence the whole variational cycle) divergent
+        (stationary rho 2.7; the W-cycle run then blew up to residual
+        1.3e5 — r3, tools/roof_lam_probe.py). theta + ||r|| covers the
+        convergence gap and collapses to the exact lambda_max as the
+        iterate converges, so the smoothing interval stays near-optimal
+        on easy levels and safe on hard ones."""
         n = lvl.npad
         i = jnp.arange(6 * n, dtype=lvl.inv_diag.dtype).reshape(6, n)
         v = (jnp.sin(i * 0.7311) + 0.1) * lvl.free_t
@@ -936,14 +949,23 @@ class MultigridShellSystem:
         # guard: a level whose DOFs are all constrained (free_t == 0)
         # would otherwise hit 0/0 and poison omega with NaN
         v = v / jnp.maximum(jnp.sqrt(jnp.sum(v * v)), tiny)
+        dis = jnp.sqrt(lvl.inv_diag)
+
+        def smv(v):
+            return dis * self._mv(lvl, dis * v)
 
         def body(_, v):
-            w = lvl.inv_diag * self._mv(lvl, v)
+            w = smv(v)
             return w / jnp.maximum(jnp.sqrt(jnp.sum(w * w)), tiny)
 
-        v = jax.lax.fori_loop(0, 15, body, v)
-        w = lvl.inv_diag * self._mv(lvl, v)
-        return jnp.maximum(jnp.sqrt(jnp.sum(w * w)), tiny)
+        v = jax.lax.fori_loop(0, 20, body, v)
+        w = smv(v)
+        vn2 = jnp.maximum(jnp.sum(v * v), tiny)
+        theta = jnp.sum(v * w) / vn2
+        resid = jnp.sqrt(
+            jnp.maximum(jnp.sum((w - theta * v) ** 2) / vn2, 0.0)
+        )
+        return jnp.maximum(theta + resid, tiny)
 
     def _smooth(self, lvl: _Level, x, b, sweeps):
         if self.smoother == "chebyshev" and lvl.lam is not None:
