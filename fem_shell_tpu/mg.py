@@ -470,13 +470,20 @@ class MultigridShellSystem:
             raise ValueError(f"unknown coarse_op {coarse_op!r}")
         self.coarse_op = coarse_op
         if self.cycle is None:
-            # curved (Galerkin) hierarchies weaken FAST with depth even
-            # in exact arithmetic (roof two-grid rho 0.77 -> 0.93 at
-            # depth 3 -> 0.98 at depth 4, tools/roof_depth_probe.py) —
-            # gamma=2 bounds the recursion loss at ~two-grid quality for
-            # a bounded (~2x) cost. Flat rediscretized hierarchies stay
-            # near-mesh-independent with the plain V-cycle.
-            self.cycle = "W" if coarse_op == "galerkin" else "V"
+            # Auto = V everywhere. Curved (Galerkin) hierarchies weaken
+            # FAST with depth (roof two-grid rho 0.77 -> 0.93 at depth 3
+            # -> 0.98 at depth 4, tools/roof_depth_probe.py) and W
+            # (gamma=2) recovers ~two-grid quality in exact arithmetic —
+            # but the composed coarse solver 2M - MAM is SPD only while
+            # lambda_max(AM) < 2, and on the deep (6-7 level) roof-1024
+            # f32 hierarchy that margin is gone: both production W runs
+            # diverged (residual 1.3e5, then 6.1e5 AFTER the Ritz
+            # upper-bound lambda fix) where the V run on identical
+            # kernels reached 2e-5 (r3, ROOF_SCALE history). V keeps the
+            # preconditioner SPD as long as each smoother contracts and
+            # the coarsest factor is SPD — cap hierarchy depth
+            # (n_levels) instead to buy strength on curved grids.
+            self.cycle = "V"
         if coarse_op == "galerkin" and class_operator:
             raise ValueError(
                 "coarse_op='galerkin' needs materialized fine values as the "

@@ -83,6 +83,25 @@ def test_roof_galerkin_vcycle_converges_where_rediscretize_stalls():
     assert float(bad.last_cg.residual) > 1e-4
 
 
+def test_auto_cycle_is_V_on_curved_hierarchies():
+    """Auto cycle must stay V on Galerkin (curved) hierarchies: the
+    W-cycle's composed coarse solver 2M - MAM needs lambda_max(AM) < 2
+    to remain SPD, and the roof cycle sits at lambda(AM) ~ 3.5 already
+    at n=128 (stationary rho 2.5, tools/roof_cycle_probe.py) — both
+    r3 production auto-W runs at n=1024 diverged (residual 1.3e5 /
+    6.1e5) where V on identical kernels reached 2e-5. V is SPD as long
+    as each smoother contracts, which is all CG needs."""
+    import jax.numpy as jnp
+
+    from fem_shell_tpu.mg import MultigridShellSystem
+
+    mesh, forces, mid = scordelis_lo(16)
+    mg = MultigridShellSystem(mesh, SCORDELIS_LO_MATERIAL, dtype=jnp.float64,
+                              n_levels=2)
+    assert mg.coarse_op == "galerkin"
+    assert mg.cycle == "V"
+
+
 @pytest.mark.slow
 def test_scordelis_lo_richardson():
     """Mesh halving gains ~2x accuracy; Richardson extrapolation of the

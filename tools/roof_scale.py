@@ -47,7 +47,10 @@ def run(n=1024):
     # chebyshev smoother + (auto) Galerkin coarse operators: the
     # rediscretized-coarse V-cycle stagnates on curved grids (r3
     # diagnosis, see mg.stencil_rap) — the first roof-scale attempt
-    # diverged at residual 34 for exactly that reason
+    # diverged at residual 34 for exactly that reason. Cycle is the
+    # (auto) V: both auto-W runs at n=1024 diverged (1.3e5 / 6.1e5 —
+    # 2M-MAM goes indefinite on the deep f32 hierarchy, see
+    # mg.__init__), where V on identical kernels reached 2e-5.
     mg = MultigridShellSystem(mesh, SCORDELIS_LO_MATERIAL, dtype=jnp.float32,
                               df_operator=True, smoother="chebyshev")
     t_build = time.perf_counter() - t0
@@ -56,14 +59,20 @@ def run(n=1024):
           f"coarse_op: {mg.coarse_op}, levels: {mg.n_levels})",
           flush=True)
 
+    # maxiter 1500: the V-preconditioned CG is SPD-but-weak on the deep
+    # curved hierarchy (stationary rho ~2.5 at n=128 already, i.e. the
+    # cycle only helps through CG; tools/roof_cycle_probe.py) — 600
+    # iterations left the midside value 5.7% short of the Richardson
+    # limit at residual 2e-5.
+    maxiter = 1500
     t0 = time.perf_counter()
-    u = mg.solve_df(forces, rtol=1e-9, maxiter=600)
+    u = mg.solve_df(forces, rtol=1e-9, maxiter=maxiter)
     t_warm = time.perf_counter() - t0
     t0 = time.perf_counter()
     mg.reassemble()
     t_asm = time.perf_counter() - t0
     t0 = time.perf_counter()
-    u = mg.solve_df(forces, rtol=1e-9, maxiter=600)
+    u = mg.solve_df(forces, rtol=1e-9, maxiter=maxiter)
     t_solve = time.perf_counter() - t0
 
     w = float(u[mid, 2])
@@ -74,6 +83,9 @@ def run(n=1024):
         "n": n,
         "elements": n_elem,
         "dofs": int(mesh.n_dofs),
+        "cycle": mg.cycle,
+        "levels": mg.n_levels,
+        "maxiter": maxiter,
         "operator_rebuild_s": round(t_asm, 3),
         "solve_s": round(t_solve, 3),
         "solve_warm_incl_compile_s": round(t_warm, 2),
