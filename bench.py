@@ -317,6 +317,87 @@ def bench_scale(n: int = 1024, et: str = "t"):
     return out
 
 
+def _supervise(child_cmd=None):
+    """Run the real bench as a CHILD process and retry once if it wedges
+    before the headline JSON line. ``child_cmd`` overrides the child
+    argv (tests inject a stub child; production uses this file).
+
+    Rationale (observed r2 scale section AND r3 Test-G): the remote TPU
+    worker occasionally wedges mid-compile — a blocked RPC that never
+    returns, with the client frozen at ~0 CPU. The wedge is tied to the
+    client process/tunnel: killing the client and reconnecting restores
+    service within seconds (verified r3: a fresh jax.devices() returned
+    immediately after killing a client that had been blocked 24 min).
+    In-process watchdogs can only abort, losing the round's metric; a
+    supervisor can kill the wedged child, probe the tunnel, and rerun.
+
+    stdout passes through unchanged (the harness parses the JSON line
+    from it); a retry is attempted only while no headline has been
+    emitted, so a metric can never be printed twice."""
+    import subprocess
+    import threading
+
+    headline_budget = float(
+        os.environ.get("FEMSHELL_BENCH_HEADLINE_TIMEOUT", "2400")
+    )
+    env = dict(os.environ, FEMSHELL_BENCH_SUPERVISE="0")
+    if child_cmd is None:
+        child_cmd = [sys.executable, os.path.abspath(__file__)]
+    attempts = 2
+    for attempt in range(1, attempts + 1):
+        child = subprocess.Popen(
+            child_cmd, env=env, stdout=subprocess.PIPE, text=True,
+        )
+        headline = threading.Event()
+
+        def _pump(stream=child.stdout):
+            for line in stream:
+                sys.stdout.write(line)
+                sys.stdout.flush()
+                if line.lstrip().startswith('{"metric"'):
+                    headline.set()
+
+        pump = threading.Thread(target=_pump, daemon=True)
+        pump.start()
+        deadline = time.time() + headline_budget
+        poll_s = min(5.0, max(headline_budget / 10.0, 0.2))
+        while (time.time() < deadline and child.poll() is None
+               and not headline.is_set()):
+            time.sleep(poll_s)
+        if headline.is_set():
+            # metric delivered — the scale section carries its own
+            # in-child watchdogs; just wait it out
+            rc = child.wait()
+            pump.join(timeout=30)
+            sys.exit(rc)
+        if child.poll() is None:
+            print(
+                f"# no headline after {headline_budget:.0f} s — killing "
+                f"wedged bench child (attempt {attempt}/{attempts})",
+                file=sys.stderr, flush=True,
+            )
+            child.kill()
+        rc = child.wait()
+        pump.join(timeout=30)
+        if attempt >= attempts:
+            sys.exit(rc if rc != 0 else 1)
+        # the tunnel can stay stuck briefly after the client dies —
+        # probe with short-lived subprocesses until discovery returns
+        for _ in range(10):
+            try:
+                p = subprocess.run(
+                    [sys.executable, "-c", "import jax; jax.devices()"],
+                    timeout=90, env=env,
+                    stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+                )
+                if p.returncode == 0:
+                    break
+            except subprocess.TimeoutExpired:
+                pass
+            time.sleep(15)
+        print("# retrying bench after wedge", file=sys.stderr, flush=True)
+
+
 def main():
     # Process-level watchdog: device discovery itself can block forever
     # when the remote TPU worker is wedged (observed r2). Guarantee
@@ -407,4 +488,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("FEMSHELL_BENCH_SUPERVISE", "1") != "0":
+        _supervise()
+    else:
+        main()

@@ -83,6 +83,56 @@ def test_discovery_watchdog_exits_nonzero_without_metric():
     assert not [l for l in r.stdout.splitlines() if l.startswith("{")]
 
 
+def test_supervisor_passes_headline_through():
+    """Happy path: the child's stdout (incl. the JSON line) streams
+    through the supervisor unchanged, exit code propagates."""
+    r = _run(
+        "import sys as _s\n"
+        "m._supervise(child_cmd=[_s.executable, '-c',\n"
+        "    'print(chr(123) + chr(34) + \"metric\" + chr(34) + chr(58) + chr(34) + \"x\" + chr(34) + chr(125))'])\n",
+        {"FEMSHELL_BENCH_HEADLINE_TIMEOUT": "30"},
+    )
+    assert r.returncode == 0, r.stderr
+    line = [l for l in r.stdout.splitlines() if l.startswith("{")]
+    assert len(line) == 1 and json.loads(line[0])["metric"] == "x"
+
+
+def test_supervisor_kills_wedged_child_and_retries(tmp_path):
+    """A child that produces no headline within the budget is killed and
+    rerun once (the r3-observed wedge clears when the client dies); the
+    retry's headline must be the only one on stdout."""
+    marker = tmp_path / "first_attempt_ran"
+    child_code = (
+        "import os, sys, time, json\n"
+        f"p = {str(marker)!r}\n"
+        "if not os.path.exists(p):\n"
+        "    open(p, 'w').close()\n"
+        "    time.sleep(600)  # wedged: no headline, no exit\n"
+        "print(json.dumps({'metric': 'retry_ok'}))\n"
+    )
+    r = _run(
+        "import sys as _s\n"
+        f"m._supervise(child_cmd=[_s.executable, '-c', {child_code!r}])\n",
+        {"FEMSHELL_BENCH_HEADLINE_TIMEOUT": "3"},
+        timeout=180,
+    )
+    assert r.returncode == 0, r.stderr
+    assert "killing wedged bench child" in r.stderr
+    line = [l for l in r.stdout.splitlines() if l.startswith("{")]
+    assert len(line) == 1 and json.loads(line[0])["metric"] == "retry_ok"
+
+
+def test_supervisor_gives_up_after_two_wedges():
+    r = _run(
+        "import sys as _s\n"
+        "m._supervise(child_cmd=[_s.executable, '-c', 'import time; time.sleep(600)'])\n",
+        {"FEMSHELL_BENCH_HEADLINE_TIMEOUT": "2"},
+        timeout=180,
+    )
+    assert r.returncode != 0
+    assert not [l for l in r.stdout.splitlines() if l.startswith("{")]
+
+
 def test_scale_section_skippable():
     r = _run(
         "m.bench_case = lambda et: (0.5, 'stub')\n"
