@@ -36,6 +36,7 @@ def pcg(
     maxiter: int = 10000,
     x0: jnp.ndarray | None = None,
     apply_prec: Callable[[jnp.ndarray], jnp.ndarray] | None = None,
+    blowup_factor: float = 1e4,
 ) -> CGResult:
     """Preconditioned CG. Pass either ``diag`` (Jacobi) or ``apply_prec``
     (arbitrary SPD preconditioner application, e.g. block-Jacobi).
@@ -53,10 +54,18 @@ def pcg(
     p = z
     rz = jnp.sum(r * z)
 
+    # divergence early-exit: 1e4x growth over the initial residual is
+    # unambiguous blow-up (indefinite preconditioner — see the r3 roof
+    # auto-W note in mg.__init__); stop instead of burning maxiter.
+    r0n = jnp.sqrt(jnp.sum(r * r))
+    blowup = blowup_factor * jnp.maximum(r0n, jnp.finfo(dtype).tiny)
+
     def cond(state):
         _, r, _, _, _, it = state
         rn = jnp.sqrt(jnp.sum(r * r))
-        return jnp.logical_and(rn > stop, it < maxiter)
+        return jnp.logical_and(
+            jnp.logical_and(rn > stop, it < maxiter), rn < blowup
+        )
 
     def body(state):
         x, r, z, p, rz, it = state

@@ -37,11 +37,18 @@ def pcg_df(
     rtol: float = 1e-10,
     maxiter: int = 20000,
     apply_prec: Callable[[DF], DF] = None,  # ...or any SPD prec in df
+    blowup_factor: float = 1e4,
 ) -> DFCGResult:
     if apply_prec is None:
         apply_prec = lambda r: df_mul_f32(r, inv_diag)  # noqa: E731
     b_norm = jnp.sqrt(df_dot_f64(b, b))
     stop = rtol * b_norm
+    # divergence early-exit: x0 = 0 so the iteration starts at rn =
+    # b_norm; 1e4x growth is unambiguous blow-up (an indefinite
+    # preconditioner, e.g. the r3 roof auto-W regression, burned 600
+    # iterations climbing to 6e5 before maxiter stopped it). NaN exits
+    # via the rn > stop comparison returning False.
+    blowup = blowup_factor * b_norm
 
     x = df_zeros_like(b)
     r = b
@@ -55,7 +62,9 @@ def pcg_df(
     def cond(state):
         _, r, _, _, it = state
         rn = jnp.sqrt(df_dot_f64(r, r))
-        return jnp.logical_and(rn > stop, it < maxiter)
+        return jnp.logical_and(
+            jnp.logical_and(rn > stop, it < maxiter), rn < blowup
+        )
 
     def body(state):
         x, r, p, rz, it = state
