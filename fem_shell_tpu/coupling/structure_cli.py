@@ -3,14 +3,56 @@ analog (fem-shell_precice.cpp:428-526 flag surface):
   -nu -e -t -mesh [-out] [-d] -config -dt [-axis x|y|z]
 
 Connects to the FLUID participant over the configured m2n (TCP sockets)
-and runs the implicit coupling loop, writing per-timestep VTU output when
--out is given (out_%04d.vtu, displaced geometry;
-fem-shell_precice.cpp:1526-1561).
+and runs the implicit coupling loop, writing per-timestep output when
+-out is given (fem-shell_precice.cpp:1526-1561): ``-out name`` writes
+one displaced-geometry VTU per timestep (name_%04d.vtu); ``-out
+name.e`` writes ONE ExodusII file with the full displacement time
+series (the reference's parallel-build output mode).
 """
 from __future__ import annotations
 
 import sys
 from typing import List, Optional
+
+
+def make_timestep_writer(mesh, out: Optional[str], dt: float):
+    """Per-timestep output plumbing for the coupled driver.
+
+    Returns ``(on_timestep, finalize)``: ``on_timestep(t, sols)`` is
+    handed to run_structure; ``finalize()`` must be called after the
+    coupling loop. ``out`` ending in ``.e`` selects the single-file
+    ExodusII time-series mode (displacements accumulated on the host,
+    written once at the end — scipy's netCDF-3 writer cannot append);
+    any other name selects per-step VTU files; None disables output."""
+    from fem_shell_tpu.io.vtk import write_vtu
+
+    if out is None:
+        return (lambda t, sols: None), (lambda: None)
+    if out.endswith(".e"):
+        history: list = []
+
+        def on_timestep(t, sols):
+            import numpy as np
+
+            history.append(np.asarray(sols, np.float64))
+
+        def finalize():
+            if history:
+                import numpy as np
+
+                from fem_shell_tpu.io.exodus import write_exodus
+
+                times = dt * (1.0 + np.arange(len(history)))
+                write_exodus(mesh, out, displacements=np.stack(history),
+                             times=times)
+
+        return on_timestep, finalize
+
+    def on_timestep(t, sols):
+        write_vtu(mesh, f"{out}_{t:04d}.vtu", displacement=sols,
+                  displace=True)
+
+    return on_timestep, (lambda: None)
 
 
 def main(argv: Optional[List[str]] = None) -> int:
@@ -37,7 +79,6 @@ def main(argv: Optional[List[str]] = None) -> int:
     jax.config.update("jax_enable_x64", True)
 
     from fem_shell_tpu.coupling.adapter import run_structure
-    from fem_shell_tpu.io.vtk import write_vtu
     from fem_shell_tpu.materials import Material
     from fem_shell_tpu.mesh import load_mesh_and_forces
 
@@ -48,10 +89,11 @@ def main(argv: Optional[List[str]] = None) -> int:
         f"{len(mesh.coupling_node_ids())} coupling interface nodes"
     )
 
+    write_step, finalize_out = make_timestep_writer(mesh, args.out, args.dt)
+
     def on_timestep(t, sols):
         print(f"Advancing in time, finished timestep: {t}")
-        if args.out:
-            write_vtu(mesh, f"{args.out}_{t:04d}.vtu", displacement=sols, displace=True)
+        write_step(t, sols)
 
     result = run_structure(
         mesh,
@@ -64,6 +106,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         max_timesteps=args.steps,
         devices=args.devices,
     )
+    finalize_out()
     print(f"Exiting Structure Solver ({result.timesteps} timesteps)")
     print("All done :)")
     return 0

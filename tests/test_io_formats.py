@@ -121,6 +121,41 @@ def test_exodus_roundtrip(tmp_path):
     np.testing.assert_allclose(s["nodal_vars"]["rot_y"], u[:, :, 4])
 
 
+def test_coupled_driver_exodus_timeseries(tmp_path):
+    """Per-timestep ExodusII output in the coupled driver (the
+    reference's parallel-build mode, fem-shell_precice.cpp:1526-1561):
+    `-out name.e` accumulates every timestep into ONE .e time series;
+    any other name keeps the per-step VTU files."""
+    pytest.importorskip("scipy")
+    from fem_shell_tpu.coupling.structure_cli import make_timestep_writer
+    from fem_shell_tpu.io.exodus import read_exodus_summary
+
+    p = MeshGenParams("t", 3, 2, 0, 0, 3, 2, (0, 0, 0, 0), 1.0, 1, False, "z")
+    mesh, _, _ = generate(p)
+    sols = np.random.default_rng(1).normal(size=(3, mesh.n_nodes, 6))
+
+    path = str(tmp_path / "coupled.e")
+    write_step, finalize = make_timestep_writer(mesh, path, dt=0.25)
+    for t, s in enumerate(sols, start=1):
+        write_step(t, s)
+    finalize()
+    summ = read_exodus_summary(path)
+    np.testing.assert_allclose(summ["times"], [0.25, 0.5, 0.75])
+    np.testing.assert_allclose(summ["nodal_vars"]["disp_z"], sols[:, :, 2])
+
+    # VTU mode unchanged: one file per step
+    vtu_base = str(tmp_path / "coupled")
+    write_step, finalize = make_timestep_writer(mesh, vtu_base, dt=0.25)
+    write_step(1, sols[0])
+    finalize()
+    assert (tmp_path / "coupled_0001.vtu").exists()
+
+    # disabled mode is inert
+    write_step, finalize = make_timestep_writer(mesh, None, dt=0.25)
+    write_step(1, sols[0])
+    finalize()
+
+
 # ----------------------------------------------------------------------
 # XDR binary meshes (fem-shell.cpp:45-47 accepts .xda/.xdr/.msh)
 # ----------------------------------------------------------------------
