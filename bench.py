@@ -370,6 +370,13 @@ def _supervise(child_cmd=None):
             rc = child.wait()
             pump.join(timeout=30)
             sys.exit(rc)
+        # re-check right before killing: the child may have emitted the
+        # headline just as the deadline hit / just before exiting — a
+        # kill+retry then would print the metric twice
+        if headline.is_set():
+            rc = child.wait()
+            pump.join(timeout=30)
+            sys.exit(rc)
         if child.poll() is None:
             print(
                 f"# no headline after {headline_budget:.0f} s — killing "
@@ -379,6 +386,11 @@ def _supervise(child_cmd=None):
             child.kill()
         rc = child.wait()
         pump.join(timeout=30)
+        # the pump thread may have seen the headline while we were
+        # waiting/killing — if it did, the metric is already on stdout;
+        # retrying would duplicate it
+        if headline.is_set():
+            sys.exit(0)
         if attempt >= attempts:
             sys.exit(rc if rc != 0 else 1)
         # the tunnel can stay stuck briefly after the client dies —

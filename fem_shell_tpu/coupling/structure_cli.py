@@ -5,9 +5,13 @@ analog (fem-shell_precice.cpp:428-526 flag surface):
 Connects to the FLUID participant over the configured m2n (TCP sockets)
 and runs the implicit coupling loop, writing per-timestep output when
 -out is given (fem-shell_precice.cpp:1526-1561): ``-out name`` writes
-one displaced-geometry VTU per timestep (name_%04d.vtu); ``-out
-name.e`` writes ONE ExodusII file with the full displacement time
-series (the reference's parallel-build output mode).
+one displaced-geometry VTU per timestep (name_%04d.vtu, the reference's
+serial-build mode); ``-out name.e`` writes ONE ExodusII file with the
+full displacement time series. The latter is a deliberate extension:
+the reference's parallel build emits one ExodusII file PER timestep
+(out_%04d.e, selected by MPI process count); a single-file series is
+the more ParaView-friendly equivalent and is what our netCDF-3 writer
+supports natively.
 """
 from __future__ import annotations
 
@@ -21,32 +25,35 @@ def make_timestep_writer(mesh, out: Optional[str], dt: float):
     Returns ``(on_timestep, finalize)``: ``on_timestep(t, sols)`` is
     handed to run_structure; ``finalize()`` must be called after the
     coupling loop. ``out`` ending in ``.e`` selects the single-file
-    ExodusII time-series mode (displacements accumulated on the host,
-    written once at the end — scipy's netCDF-3 writer cannot append);
-    any other name selects per-step VTU files; None disables output."""
+    ExodusII time-series mode: displacements accumulate on the host and
+    the file is REWRITTEN every ``flush_every`` steps (netCDF-3 cannot
+    append, but a periodic rewrite is cheap next to a solve step and
+    bounds data loss if the coupling run dies mid-flight); any other
+    name selects per-step VTU files; None disables output."""
     from fem_shell_tpu.io.vtk import write_vtu
 
     if out is None:
         return (lambda t, sols: None), (lambda: None)
     if out.endswith(".e"):
+        import numpy as np
+
+        from fem_shell_tpu.io.exodus import write_exodus
+
         history: list = []
+        flush_every = 25
 
-        def on_timestep(t, sols):
-            import numpy as np
-
-            history.append(np.asarray(sols, np.float64))
-
-        def finalize():
+        def flush():
             if history:
-                import numpy as np
-
-                from fem_shell_tpu.io.exodus import write_exodus
-
                 times = dt * (1.0 + np.arange(len(history)))
                 write_exodus(mesh, out, displacements=np.stack(history),
                              times=times)
 
-        return on_timestep, finalize
+        def on_timestep(t, sols):
+            history.append(np.asarray(sols, np.float64))
+            if len(history) % flush_every == 0:
+                flush()
+
+        return on_timestep, flush
 
     def on_timestep(t, sols):
         write_vtu(mesh, f"{out}_{t:04d}.vtu", displacement=sols,

@@ -57,8 +57,11 @@ def pcg(
     # divergence early-exit: 1e4x growth over the initial residual is
     # unambiguous blow-up (indefinite preconditioner — see the r3 roof
     # auto-W note in mg.__init__); stop instead of burning maxiter.
+    # Floored with b_norm so a warm start (x0 near the solution, r0n at
+    # roundoff) cannot trip the guard on normal residual oscillation.
     r0n = jnp.sqrt(jnp.sum(r * r))
-    blowup = blowup_factor * jnp.maximum(r0n, jnp.finfo(dtype).tiny)
+    blowup = blowup_factor * jnp.maximum(jnp.maximum(r0n, b_norm),
+                                         jnp.finfo(dtype).tiny)
 
     def cond(state):
         _, r, _, _, _, it = state

@@ -61,9 +61,12 @@ def run(n=1024):
 
     # maxiter 1500: the V-preconditioned CG is SPD-but-weak on the deep
     # curved hierarchy (stationary rho ~2.5 at n=128 already, i.e. the
-    # cycle only helps through CG; tools/roof_cycle_probe.py) — 600
-    # iterations left the midside value 5.7% short of the Richardson
-    # limit at residual 2e-5.
+    # cycle only helps through CG; tools/roof_cycle_probe.py). NOTE
+    # (r3-end run, ROOF_SCALE.json): 1500 iterations still hit the cap
+    # at residual 3.3e-4 with err_vs_richardson stuck at the same 5.7%
+    # the 600-iteration run showed — the extra 900 iterations bought
+    # nothing; the plateau is hierarchy-limited, not iteration-limited
+    # (see the curved-grid depth weakness in COVERAGE known limits).
     maxiter = 1500
     t0 = time.perf_counter()
     u = mg.solve_df(forces, rtol=1e-9, maxiter=maxiter)
