@@ -425,7 +425,7 @@ class MultigridShellSystem:
         # poorly — widening the interval (smaller cheby_lo, higher
         # degree) trades smoothing work for V-cycle strength there.
         self.cheby_lo = 0.25
-        if cycle not in (None, "V", "W"):
+        if cycle not in (None, "V", "W", "K"):
             raise ValueError(f"unknown cycle {cycle!r}")
         self.cycle = cycle  # None = auto, resolved once coarse_op is known
         _n_elem_fine = len(mesh.tri) + len(mesh.quad)
@@ -1045,20 +1045,61 @@ class MultigridShellSystem:
         r = b - self._mv(lvl, x)
         nxt = levels[li + 1]
         rc = _from_grid(_restrict(_to_grid(r, lvl)), nxt) * nxt.free_t
-        ec = self._vcycle(levels, li + 1, rc)
-        if self.cycle == "W" and li + 1 < len(levels) - 1:
-            # gamma=2: one more coarse visit on the updated residual.
-            # The composed coarse solver 2M - M A M stays symmetric, so
-            # the cycle remains a valid CG preconditioner. Shell
-            # hierarchies weaken with depth (roof, galerkin levels:
-            # 93 -> 240 CG iterations from 3 to 4 V-cycle levels, r3
-            # probe) — the extra coarse work is geometric-series cheap
-            # and flattens that growth, same rationale as amg.py's W.
-            rc2 = rc - self._mv(nxt, ec) * nxt.free_t
-            ec = ec + self._vcycle(levels, li + 1, rc2)
+        ec = self._coarse_visit(levels, li + 1, rc)
         x = x + _from_grid(_prolong(_to_grid(ec, nxt)), lvl) * lvl.free_t
         x = self._smooth(lvl, x, b, self.nu_smooth)
         return x
+
+    def _coarse_visit(self, levels, li: int, rc):
+        """Coarse-level solve dispatch for the cycle type.
+
+        "V": one recursive visit. "W" (gamma=2): a second visit on the
+        updated residual — the composed solver 2M - MAM stays symmetric
+        but is SPD only while lambda_max(AM) < 2 (the r3 roof
+        divergence; see __init__). "K" (Notay K-cycle, AGMG-style): the
+        coarse problem is solved by 2 truncated-FCG steps preconditioned
+        by the cycle visit at that level — near-two-grid quality at any
+        depth, each application SPD (a positive polynomial in A_c), but
+        nonlinear in rc, so the OUTER CG must run flexible (solver.py /
+        solver_df.py ``flexible=True``; the solve paths set it from
+        self.cycle automatically)."""
+        nxt = levels[li]
+        direct = nxt.chol is not None or nxt.dense_inv is not None
+        if self.cycle == "K" and li < len(levels) - 1 and not direct:
+            return self._ksolve(levels, li, rc)
+        ec = self._vcycle(levels, li, rc)
+        if self.cycle == "W" and li < len(levels) - 1:
+            rc2 = rc - self._mv(nxt, ec) * nxt.free_t
+            ec = ec + self._vcycle(levels, li, rc2)
+        return ec
+
+    def _ksolve(self, levels, li: int, b):
+        """Two truncated-FCG steps on A_li e = b, preconditioned by the
+        cycle visit at this level (which recurses through _coarse_visit,
+        so every level below gets the same Krylov acceleration). The
+        0-guarded divisions keep a zero residual from poisoning the
+        trace with 0/0."""
+        lvl = levels[li]
+        mask = lvl.free_t
+
+        def mv(x):
+            return self._mv(lvl, x) * mask
+
+        def sdiv(a, d):
+            return a / jnp.where(d == 0, jnp.ones_like(d), d)
+
+        z1 = self._vcycle(levels, li, b)
+        q1 = mv(z1)
+        zq1 = jnp.sum(z1 * q1)
+        alpha1 = sdiv(jnp.sum(z1 * b), zq1)
+        r = b - alpha1 * q1
+        z2 = self._vcycle(levels, li, r)
+        q2 = mv(z2)
+        beta = sdiv(jnp.sum(z2 * q1), zq1)
+        p = z2 - beta * z1
+        qp = q2 - beta * q1
+        alpha2 = sdiv(jnp.sum(p * r), jnp.sum(p * qp))
+        return alpha1 * z1 + alpha2 * p
 
     def _vcycle_fine_pad(self, levels, b):
         """Level-0 V-cycle segment in the padded pallas layout
@@ -1109,10 +1150,7 @@ class MultigridShellSystem:
         rg = r_c.reshape(6, pg.pyp_pad, pg.pxq)[:, 1 : 1 + nyp, 1 : 1 + nxp]
         nxt = levels[1]
         rc = _from_grid(_restrict(rg), nxt) * nxt.free_t
-        ec = self._vcycle(levels, 1, rc)
-        if self.cycle == "W" and 1 < len(levels) - 1:
-            rc2 = rc - self._mv(nxt, ec) * nxt.free_t
-            ec = ec + self._vcycle(levels, 1, rc2)
+        ec = self._coarse_visit(levels, 1, rc)
         corr = _prolong(_to_grid(ec, nxt))
         n = nyp * nxp
         free_g = lvl.free_t[:, :n].reshape(6, nyp, nxp)
@@ -1154,7 +1192,8 @@ class MultigridShellSystem:
         b = forces_t * lvl.free_t
         mv = lambda x: self._mv(lvl, x)  # noqa: E731
         prec = lambda r: self._vcycle(levels, 0, r)  # noqa: E731
-        return pcg(mv, b, rtol=rtol, maxiter=maxiter, apply_prec=prec)
+        return pcg(mv, b, rtol=rtol, maxiter=maxiter, apply_prec=prec,
+                     flexible=self.cycle == "K")
 
     def solve(self, forces, rtol: float = 1e-10, maxiter: int = 2000):
         lvl = self._fine
@@ -1203,7 +1242,8 @@ class MultigridShellSystem:
             z32 = self._vcycle(levels32, 0, r.hi)
             return DF(z32, jnp.zeros_like(z32))
 
-        res = pcg_df(mv, b, rtol=rtol, maxiter=maxiter, apply_prec=prec)
+        res = pcg_df(mv, b, rtol=rtol, maxiter=maxiter, apply_prec=prec,
+                     flexible=self.cycle == "K")
         return df_to_f64(res.x), res.iters, res.residual
 
     def _solve_df_impl_f32(self, fine, levels, forces_t64, rtol, maxiter):
@@ -1221,7 +1261,8 @@ class MultigridShellSystem:
             z32 = self._vcycle(levels, 0, r.hi)
             return DF(z32, jnp.zeros_like(z32))
 
-        res = pcg_df(mv, b, rtol=rtol, maxiter=maxiter, apply_prec=prec)
+        res = pcg_df(mv, b, rtol=rtol, maxiter=maxiter, apply_prec=prec,
+                     flexible=self.cycle == "K")
         return df_to_f64(res.x), res.iters, res.residual
 
     def _solve_df_impl_pair(self, fine_df, fine_sym, levels, forces_t64, rtol, maxiter):
@@ -1262,7 +1303,8 @@ class MultigridShellSystem:
             z32 = self._vcycle(levels, 0, r.hi)
             return DF(z32, jnp.zeros_like(z32))
 
-        res = pcg_df(mv, b, rtol=rtol, maxiter=maxiter, apply_prec=prec)
+        res = pcg_df(mv, b, rtol=rtol, maxiter=maxiter, apply_prec=prec,
+                     flexible=self.cycle == "K")
         return df_to_f64(res.x), res.iters, res.residual
 
     def _solve_df_impl_class(self, levels, forces_t64, rtol, maxiter):
@@ -1301,7 +1343,8 @@ class MultigridShellSystem:
                 z2 = self._vcycle_pad_carry(levels, r.hi)
                 return DF(z2, jnp.zeros_like(z2))
 
-            res = pcg_df(mv, b2, rtol=rtol, maxiter=maxiter, apply_prec=prec)
+            res = pcg_df(mv, b2, rtol=rtol, maxiter=maxiter, apply_prec=prec,
+                     flexible=self.cycle == "K")
             x64 = from_pad_grid(pg, res.x.hi, fine.npad).astype(jnp.float64) + \
                 from_pad_grid(pg, res.x.lo, fine.npad).astype(jnp.float64)
             return x64, res.iters, res.residual
@@ -1311,7 +1354,8 @@ class MultigridShellSystem:
             z32 = self._vcycle(levels, 0, r.hi)
             return DF(z32, jnp.zeros_like(z32))
 
-        res = pcg_df(mv, b, rtol=rtol, maxiter=maxiter, apply_prec=prec)
+        res = pcg_df(mv, b, rtol=rtol, maxiter=maxiter, apply_prec=prec,
+                     flexible=self.cycle == "K")
         return df_to_f64(res.x), res.iters, res.residual
 
     def solve_df(self, forces, rtol: float = 1e-9, maxiter: int = 2000):
@@ -1495,7 +1539,8 @@ class MultigridShellSystem:
                     return DF(z2, jnp.zeros_like(z2))
 
                 res = pcg_df(mv, b2, rtol=rtol, maxiter=maxiter,
-                             apply_prec=prec)
+                             apply_prec=prec,
+                             flexible=self.cycle == "K")
                 x_flat = DF(
                     from_pad_grid(pg, res.x.hi, fine.npad),
                     from_pad_grid(pg, res.x.lo, fine.npad),
@@ -1507,7 +1552,8 @@ class MultigridShellSystem:
                 z32 = self._vcycle(levels, 0, r.hi)
                 return DF(z32, jnp.zeros_like(z32))
 
-            res = pcg_df(mv, b, rtol=rtol, maxiter=maxiter, apply_prec=prec)
+            res = pcg_df(mv, b, rtol=rtol, maxiter=maxiter, apply_prec=prec,
+                     flexible=self.cycle == "K")
             return res.x, res.iters, res.residual
 
         fine = dataclasses.replace(levels[0], values=fine_df.hi)
@@ -1527,7 +1573,8 @@ class MultigridShellSystem:
             z32 = self._vcycle(levels, 0, r.hi)
             return DF(z32, jnp.zeros_like(z32))
 
-        res = pcg_df(mv, b, rtol=rtol, maxiter=maxiter, apply_prec=prec)
+        res = pcg_df(mv, b, rtol=rtol, maxiter=maxiter, apply_prec=prec,
+                     flexible=self.cycle == "K")
         return res.x, res.iters, res.residual
 
     def _refine_residual_impl(self, fine_df, cdf, tabs, x, b):
@@ -1737,7 +1784,8 @@ class MultigridShellSystem:
                 z32 = self._vcycle(levels32, 0, r.hi)
                 return DF(z32, jnp.zeros_like(z32))
 
-            res = pcg_df(mv, b, rtol=rtol, maxiter=maxiter, apply_prec=prec)
+            res = pcg_df(mv, b, rtol=rtol, maxiter=maxiter, apply_prec=prec,
+                     flexible=self.cycle == "K")
             return df_to_f64(res.x), res.iters, res.residual
         # f64 CG fallback: platforms whose compiler breaks the barrier-free
         # EFT chains (CPU LLVM FMA contraction) still exercise the whole
@@ -1747,7 +1795,8 @@ class MultigridShellSystem:
         def prec64(r):
             return self._vcycle(levels32, 0, r.astype(jnp.float32)).astype(jnp.float64)
 
-        res = pcg(mv64, b64, rtol=rtol, maxiter=maxiter, apply_prec=prec64)
+        res = pcg(mv64, b64, rtol=rtol, maxiter=maxiter, apply_prec=prec64,
+                  flexible=self.cycle == "K")
         return res.x, res.iters, res.residual
 
     def _ensure_fused(self, arith: str):

@@ -37,10 +37,16 @@ def pcg(
     x0: jnp.ndarray | None = None,
     apply_prec: Callable[[jnp.ndarray], jnp.ndarray] | None = None,
     blowup_factor: float = 1e4,
+    flexible: bool = False,
 ) -> CGResult:
     """Preconditioned CG. Pass either ``diag`` (Jacobi) or ``apply_prec``
     (arbitrary SPD preconditioner application, e.g. block-Jacobi).
-    ``matvec`` must preserve the shape of ``b``."""
+    ``matvec`` must preserve the shape of ``b``.
+
+    ``flexible=True`` switches beta to the Polak-Ribiere (IPCG/FCG) form
+    ``z_{k+1}.(r_{k+1} - r_k) / z_k.r_k`` — required when the
+    preconditioner is nonlinear/varying (e.g. a Krylov-accelerated
+    K-cycle, mg.py cycle="K"); costs one extra dot per iteration."""
     dtype = b.dtype
     if apply_prec is None:
         inv_diag = jnp.where(diag != 0, 1.0 / diag, jnp.ones_like(diag))
@@ -75,10 +81,14 @@ def pcg(
         ap = matvec(p)
         alpha = rz / jnp.sum(p * ap)
         x = x + alpha * p
+        r_old = r
         r = r - alpha * ap
         z = apply_prec(r)
         rz_new = jnp.sum(r * z)
-        beta = rz_new / rz
+        if flexible:
+            beta = (rz_new - jnp.sum(r_old * z)) / rz
+        else:
+            beta = rz_new / rz
         p = z + beta * p
         return (x, r, z, p, rz_new, it + 1)
 

@@ -38,7 +38,11 @@ def pcg_df(
     maxiter: int = 20000,
     apply_prec: Callable[[DF], DF] = None,  # ...or any SPD prec in df
     blowup_factor: float = 1e4,
+    flexible: bool = False,
 ) -> DFCGResult:
+    """``flexible=True``: Polak-Ribiere (IPCG/FCG) beta — required for
+    nonlinear/varying preconditioners (mg.py cycle="K"); one extra df
+    dot per iteration."""
     if apply_prec is None:
         apply_prec = lambda r: df_mul_f32(r, inv_diag)  # noqa: E731
     b_norm = jnp.sqrt(df_dot_f64(b, b))
@@ -72,10 +76,15 @@ def pcg_df(
         alpha = rz / df_dot_f64(p, ap)
         a_df = df_scalar_from_f64(alpha)
         x = df_add(x, df_scale(p, a_df))
+        r_old = r
         r = df_add(r, df_scale(ap, df_scalar_from_f64(-alpha)))
         z = apply_prec(r)
         rz_new = df_dot_f64(r, z)
-        beta = df_scalar_from_f64(rz_new / rz)
+        if flexible:
+            beta_v = (rz_new - df_dot_f64(r_old, z)) / rz
+        else:
+            beta_v = rz_new / rz
+        beta = df_scalar_from_f64(beta_v)
         p = df_add(z, df_scale(p, beta))
         return (x, r, p, rz_new, it + 1)
 
