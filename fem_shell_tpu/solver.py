@@ -60,24 +60,30 @@ def pcg(
     p = z
     rz = jnp.sum(r * z)
 
-    # divergence early-exit: 1e4x growth over the initial residual is
-    # unambiguous blow-up (indefinite preconditioner — see the r3 roof
-    # auto-W note in mg.__init__); stop instead of burning maxiter.
-    # Floored with b_norm so a warm start (x0 near the solution, r0n at
-    # roundoff) cannot trip the guard on normal residual oscillation.
+    # divergence early-exit: stop when the residual sits above
+    # blowup_factor x its start AND has grown for >= 8 consecutive
+    # iterations (the r3 roof auto-W divergence pattern). The growth
+    # counter matters: a healthy MG-CG on a kappa ~ 1e10 plate
+    # legitimately spikes its 2-norm residual ~1e4x on the FIRST
+    # iteration and then decays (r4, tools/cg_blowup_probe.py) — an
+    # absolute threshold here killed such solves at iteration 1. Floored
+    # with b_norm so a warm start (x0 near the solution, r0n at
+    # roundoff) cannot trip the guard on roundoff-level oscillation.
     r0n = jnp.sqrt(jnp.sum(r * r))
     blowup = blowup_factor * jnp.maximum(jnp.maximum(r0n, b_norm),
                                          jnp.finfo(dtype).tiny)
 
     def cond(state):
-        _, r, _, _, _, it = state
+        _, r, _, _, _, _, grow, it = state
         rn = jnp.sqrt(jnp.sum(r * r))
+        diverging = jnp.logical_and(grow >= 8, rn > blowup)
         return jnp.logical_and(
-            jnp.logical_and(rn > stop, it < maxiter), rn < blowup
+            jnp.logical_and(rn > stop, it < maxiter),
+            jnp.logical_not(diverging),
         )
 
     def body(state):
-        x, r, z, p, rz, it = state
+        x, r, z, p, rz, rn_prev, grow, it = state
         ap = matvec(p)
         alpha = rz / jnp.sum(p * ap)
         x = x + alpha * p
@@ -90,10 +96,13 @@ def pcg(
         else:
             beta = rz_new / rz
         p = z + beta * p
-        return (x, r, z, p, rz_new, it + 1)
+        rn = jnp.sqrt(jnp.sum(r * r))
+        grow = jnp.where(rn > rn_prev, grow + 1, jnp.zeros_like(grow))
+        return (x, r, z, p, rz_new, rn, grow, it + 1)
 
-    state = (x, r, z, p, rz, jnp.zeros((), jnp.int32))
-    x, r, _, _, _, it = jax.lax.while_loop(cond, body, state)
+    state = (x, r, z, p, rz, r0n, jnp.zeros((), jnp.int32),
+             jnp.zeros((), jnp.int32))
+    x, r, _, _, _, _, _, it = jax.lax.while_loop(cond, body, state)
     rn = jnp.sqrt(jnp.sum(r * r))
     rel = jnp.where(b_norm > 0, rn / b_norm, rn)
     return CGResult(x, it, rel)

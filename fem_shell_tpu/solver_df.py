@@ -47,11 +47,18 @@ def pcg_df(
         apply_prec = lambda r: df_mul_f32(r, inv_diag)  # noqa: E731
     b_norm = jnp.sqrt(df_dot_f64(b, b))
     stop = rtol * b_norm
-    # divergence early-exit: x0 = 0 so the iteration starts at rn =
-    # b_norm; 1e4x growth is unambiguous blow-up (an indefinite
-    # preconditioner, e.g. the r3 roof auto-W regression, burned 600
-    # iterations climbing to 6e5 before maxiter stopped it). NaN exits
-    # via the rn > stop comparison returning False.
+    # divergence early-exit: stop when the residual sits above
+    # blowup_factor x ||b|| AND has grown for >= 8 consecutive
+    # iterations. Both conditions matter: an indefinite preconditioner
+    # (the r3 roof auto-W regression) climbs steadily and trips the
+    # growth counter within ~10 iterations, while a HEALTHY df MG-CG on
+    # a kappa ~ 1e10 plate legitimately spikes the 2-norm residual to
+    # ~1e4 x ||b|| on its FIRST iteration and then decays monotonically
+    # (r4 diagnosis, tools/cg_blowup_probe.py + coarse_fix_probe.py: the
+    # spike is the prolongated coarse correction's mid-frequency
+    # interpolation error — the A-norm error contracts; an absolute
+    # guard here killed pass 0 of every production refined solve at
+    # iteration 1). NaN exits via rn > stop comparing False.
     blowup = blowup_factor * b_norm
 
     x = df_zeros_like(b)
@@ -59,19 +66,22 @@ def pcg_df(
     p = apply_prec(r)
     rz = df_dot_f64(r, p)
 
-    # carry only (x, r, p, rz): z = prec(r) is recomputed in every body
-    # anyway — carrying it costs an extra df vector (255 MB at 5.3M
-    # nodes, where the operator pair already fills ~2/3 of HBM)
+    # carry only (x, r, p, rz, rn_prev, grow, it): z = prec(r) is
+    # recomputed in every body anyway — carrying it costs an extra df
+    # vector (255 MB at 5.3M nodes, where the operator pair already
+    # fills ~2/3 of HBM)
 
     def cond(state):
-        _, r, _, _, it = state
+        _, r, _, _, _, grow, it = state
         rn = jnp.sqrt(df_dot_f64(r, r))
+        diverging = jnp.logical_and(grow >= 8, rn > blowup)
         return jnp.logical_and(
-            jnp.logical_and(rn > stop, it < maxiter), rn < blowup
+            jnp.logical_and(rn > stop, it < maxiter),
+            jnp.logical_not(diverging),
         )
 
     def body(state):
-        x, r, p, rz, it = state
+        x, r, p, rz, rn_prev, grow, it = state
         ap = matvec(p)
         alpha = rz / df_dot_f64(p, ap)
         a_df = df_scalar_from_f64(alpha)
@@ -86,9 +96,12 @@ def pcg_df(
             beta_v = rz_new / rz
         beta = df_scalar_from_f64(beta_v)
         p = df_add(z, df_scale(p, beta))
-        return (x, r, p, rz_new, it + 1)
+        rn = jnp.sqrt(df_dot_f64(r, r))
+        grow = jnp.where(rn > rn_prev, grow + 1, jnp.zeros_like(grow))
+        return (x, r, p, rz_new, rn, grow, it + 1)
 
-    state = (x, r, p, rz, jnp.zeros((), jnp.int32))
-    x, r, _, _, it = jax.lax.while_loop(cond, body, state)
+    state = (x, r, p, rz, b_norm, jnp.zeros((), jnp.int32),
+             jnp.zeros((), jnp.int32))
+    x, r, _, _, _, _, it = jax.lax.while_loop(cond, body, state)
     rel = jnp.sqrt(df_dot_f64(r, r)) / b_norm
     return DFCGResult(x, it, rel)

@@ -14,6 +14,13 @@ floor ~2e-4, so the value must land within 2e-3 of the Richardson
 limit.
 
 Run STANDALONE: nohup python tools/roof_scale.py 1024 > /tmp/roof_scale.log 2>&1 &
+        or:     nohup python tools/roof_scale.py 1024 amg > ... &
+
+``amg`` mode routes the curved mesh to SA-AMG-df (amg.py): the
+rigid-mode tentative prolongator adapts the coarse space to the curved
+operator, where the geometric Galerkin hierarchy weakens with depth
+(r4 CPU probe, tools/roof_amg_lean.py: AMG 36/47 CG iterations at
+n=64/128 vs geometric V 75/178 — near-mesh-independent).
 """
 import json
 import os
@@ -34,7 +41,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def run(n=1024):
+def run(n=1024, mode="mg"):
     from fem_shell_tpu.mg import MultigridShellSystem
     from fem_shell_tpu.shells import SCORDELIS_LO_MATERIAL, scordelis_lo
 
@@ -42,6 +49,8 @@ def run(n=1024):
     n_elem = len(mesh.quad)
     print(f"# device={jax.devices()[0]} elements={n_elem} dofs={mesh.n_dofs}",
           flush=True)
+    if mode == "amg":
+        return run_amg(mesh, forces, mid, n, n_elem)
 
     t0 = time.perf_counter()
     # chebyshev smoother + (auto) Galerkin coarse operators: the
@@ -106,5 +115,52 @@ def run(n=1024):
     print(f"# wrote {path}", flush=True)
 
 
+def run_amg(mesh, forces, mid, n, n_elem):
+    from fem_shell_tpu.amg import AMGShellSystem
+    from fem_shell_tpu.shells import SCORDELIS_LO_MATERIAL
+
+    t0 = time.perf_counter()
+    amg = AMGShellSystem(mesh, SCORDELIS_LO_MATERIAL, dtype=jnp.float32,
+                         df=True)
+    setup_s = time.perf_counter() - t0
+    print(f"# AMG-df setup: {setup_s:.1f} s ({len(amg.levels)} levels)",
+          flush=True)
+
+    t0 = time.perf_counter()
+    u = amg.solve_df_refined(forces, rtol=1e-9, verbose=True)
+    t_warm = time.perf_counter() - t0
+    print(f"# warm solve: {t_warm:.1f} s ({amg.last_iters} it)", flush=True)
+    t0 = time.perf_counter()
+    u = amg.solve_df_refined(forces, rtol=1e-9)
+    t_solve = time.perf_counter() - t0
+
+    w = float(u[mid, 2])
+    target = -0.3031  # Richardson limit of this facet discretization
+    err = abs(w - target) / abs(target)
+    payload = {
+        "metric": "scordelis_lo_roof_scale",
+        "solver": "sa-amg-df",
+        "n": n,
+        "elements": n_elem,
+        "dofs": int(mesh.n_dofs),
+        "levels": len(amg.levels),
+        "setup_s": round(setup_s, 2),
+        "solve_s": round(t_solve, 3),
+        "solve_warm_incl_compile_s": round(t_warm, 2),
+        "inner_iters": amg.last_iters,
+        "residual": float(f"{amg.last_residual:.3e}"),
+        "midside_w": float(f"{w:.6f}"),
+        "err_vs_richardson": float(f"{err:.3e}"),
+    }
+    print(json.dumps(payload), flush=True)
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "ROOF_SCALE.json")
+    with open(path, "w") as f:
+        json.dump(payload, f)
+        f.write("\n")
+    print(f"# wrote {path}", flush=True)
+
+
 if __name__ == "__main__":
-    run(int(sys.argv[1]) if len(sys.argv) > 1 else 1024)
+    run(int(sys.argv[1]) if len(sys.argv) > 1 else 1024,
+        sys.argv[2] if len(sys.argv) > 2 else "mg")
