@@ -610,7 +610,11 @@ class AMGShellSystem:
                           f"({total} inner iters)", flush=True)
                 if rn < rtol or not np.isfinite(rn):
                     break
-                if len(hist) > 1 and rn > 0.7 * hist[-2]:
+                # floor detection: a healthy refinement pass with
+                # inner_rtol=1e-5 contracts the true residual by orders
+                # of magnitude; <10x improvement only happens at the df
+                # representation floor (see mg.solve_df_refined, r4)
+                if len(hist) > 1 and rn > 0.1 * hist[-2]:
                     break  # representation floor (benign)
                 dres = self._solve_df_jit(self._fine_df, self._adj0, self.levels, r, float(inner_rtol), int(inner_maxiter))
                 x = df_add(x, dres.x)

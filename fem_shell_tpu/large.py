@@ -542,7 +542,11 @@ class LargeShellSystem:
                           f"({total} inner iters)", flush=True)
                 if rn < rtol or not np.isfinite(rn):
                     break
-                if len(hist) > 1 and rn > 0.7 * hist[-2]:
+                # floor detection: a healthy refinement pass with
+                # inner_rtol=1e-5 contracts the true residual by orders
+                # of magnitude; <10x improvement only happens at the df
+                # representation floor (see mg.solve_df_refined, r4)
+                if len(hist) > 1 and rn > 0.1 * hist[-2]:
                     break  # floor (benign — see mg.solve_df_refined)
                 d, itk, _ = self._refined_inner_jit(
                     values, tables, r, float(inner_rtol), int(inner_maxiter)
