@@ -443,10 +443,21 @@ class AMGShellSystem:
                 d[d <= 0] = 1.0
                 sc = 1.0 / np.sqrt(d)
                 scaled = dense * sc[:, None] * sc[None, :]
-                # exact symmetrization guard before Cholesky
-                scaled = 0.5 * (scaled + scaled.T) + 1e-12 * np.eye(len(d))
-                dl.chol = jnp.asarray(np.linalg.cholesky(scaled), dtype)
-                dl.chol_scale = jnp.asarray(sc, dtype)
+                # exact symmetrization guard + relative shift before
+                # Cholesky. The factor stays f64 REGARDLESS of the cycle
+                # dtype: curved shells can leave the SA coarsest
+                # near-singular (Scordelis-Lo roof: cond 5.1e14 — the
+                # free straight edges leave near-rigid modes weakly
+                # constrained), so an f32 factor is pure noise and
+                # poisons every cycle (r4: f32 W-cycle NaN at iteration
+                # 11, V diverged to residual 3.5e3 where the f64 cycle
+                # converges in 47). Two f64 triangular solves of
+                # <= 6*coarse_max dofs are negligible even emulated on
+                # TPU; _vcycle casts the correction back to the cycle
+                # dtype.
+                scaled = 0.5 * (scaled + scaled.T) + 1e-10 * np.eye(len(d))
+                dl.chol = jnp.asarray(np.linalg.cholesky(scaled), jnp.float64)
+                dl.chol_scale = jnp.asarray(sc, jnp.float64)
             self.levels.append(dl)
 
         self._solve_jit = jax.jit(self._solve_impl, static_argnums=(2, 3))
@@ -466,14 +477,15 @@ class AMGShellSystem:
     def _vcycle(self, levels, li, b):
         dl = levels[li]
         if dl.chol is not None:
-            rhs = (dl.chol_scale * b.reshape(-1))[:, None]
+            # f64 coarsest solve (see the factor's comment), cast back
+            rhs = (dl.chol_scale * b.reshape(-1).astype(dl.chol.dtype))[:, None]
             y = jax.lax.linalg.triangular_solve(
                 dl.chol, rhs, left_side=True, lower=True, transpose_a=False
             )
             z = jax.lax.linalg.triangular_solve(
                 dl.chol, y, left_side=True, lower=True, transpose_a=True
             )
-            return (dl.chol_scale * z[:, 0]).reshape(b.shape)
+            return (dl.chol_scale * z[:, 0]).astype(b.dtype).reshape(b.shape)
         x = jnp.zeros_like(b)
         x = self._smooth(dl, x, b, self.nu_smooth)
         r = b - self._mv(dl, x)

@@ -60,8 +60,13 @@ def run(n=1024, mode="mg"):
     # (auto) V: both auto-W runs at n=1024 diverged (1.3e5 / 6.1e5 —
     # 2M-MAM goes indefinite on the deep f32 hierarchy, see
     # mg.__init__), where V on identical kernels reached 2e-5.
+    # cycle: env override (r4: the K-cycle + the sustained-growth CG
+    # guard turn the roof hierarchy from 215 V-iterations (f64, n=256)
+    # to 53 — tools/roof_kcycle_probe.py)
+    cycle = os.environ.get("FEMSHELL_ROOF_CYCLE") or None
     mg = MultigridShellSystem(mesh, SCORDELIS_LO_MATERIAL, dtype=jnp.float32,
-                              df_operator=True, smoother="chebyshev")
+                              df_operator=True, smoother="chebyshev",
+                              cycle=cycle)
     t_build = time.perf_counter() - t0
     print(f"# construct+assemble: {t_build:.1f} s "
           f"(fine operator: {'class' if mg._cdf is not None else 'pair'}, "
@@ -76,15 +81,16 @@ def run(n=1024, mode="mg"):
     # the 600-iteration run showed — the extra 900 iterations bought
     # nothing; the plateau is hierarchy-limited, not iteration-limited
     # (see the curved-grid depth weakness in COVERAGE known limits).
-    maxiter = 1500
+    maxiter = int(os.environ.get("FEMSHELL_ROOF_MAXITER", "1500"))
+    rtol = float(os.environ.get("FEMSHELL_ROOF_RTOL", "1e-9"))
     t0 = time.perf_counter()
-    u = mg.solve_df(forces, rtol=1e-9, maxiter=maxiter)
+    u = mg.solve_df(forces, rtol=rtol, maxiter=maxiter)
     t_warm = time.perf_counter() - t0
     t0 = time.perf_counter()
     mg.reassemble()
     t_asm = time.perf_counter() - t0
     t0 = time.perf_counter()
-    u = mg.solve_df(forces, rtol=1e-9, maxiter=maxiter)
+    u = mg.solve_df(forces, rtol=rtol, maxiter=maxiter)
     t_solve = time.perf_counter() - t0
 
     w = float(u[mid, 2])
