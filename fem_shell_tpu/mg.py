@@ -1037,7 +1037,14 @@ class MultigridShellSystem:
             return flat * lvl.free_t
         if lvl.dense_inv is not None:
             n_real = lvl.nyp * lvl.nxp
-            flat = (lvl.dense_inv @ b[:, :n_real].reshape(-1)).reshape(6, n_real)
+            # apply in the inverse's own dtype and cast the RESULT: an
+            # ill-conditioned coarsest (roof: cond ~1e14) has inverse
+            # ENTRIES spanning the f32 range — casting the factor down
+            # is noise (r4 tools/roof_prec_probe.py f32cast: 800 iters
+            # res 37 vs 162 with the f64 inverse kept), while the
+            # correction vector itself casts harmlessly
+            rhs = b[:, :n_real].reshape(-1).astype(lvl.dense_inv.dtype)
+            flat = (lvl.dense_inv @ rhs).reshape(6, n_real).astype(b.dtype)
             flat = jnp.pad(flat, ((0, 0), (0, lvl.npad - n_real)))
             return flat * lvl.free_t
         x = jnp.zeros_like(b)
@@ -1219,7 +1226,9 @@ class MultigridShellSystem:
                 values=l.values.astype(jnp.float32),
                 free_t=l.free_t.astype(jnp.float32),
                 inv_diag=l.inv_diag.astype(jnp.float32),
-                dense_inv=None if l.dense_inv is None else l.dense_inv.astype(jnp.float32),
+                # dense_inv stays f64: its entries span the f32 range on
+                # ill-conditioned coarsest operators (see _vcycle)
+                dense_inv=l.dense_inv,
                 # omega/lam are f64 scalars in f64 mode — left uncast
                 # they promote the smoother update (and thence the CG
                 # carry) to f64 under x64
