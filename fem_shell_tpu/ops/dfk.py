@@ -219,12 +219,19 @@ def d_reduce_sum(x: DF, axes: Sequence[int]) -> DF:
                     DF(pair.hi[tuple(head)], pair.lo[tuple(head)]),
                     DF(x.hi[tuple(last)], x.lo[tuple(last)]),
                 )
-                rest = [slice(None)] * x.hi.ndim
-                rest[ax] = slice(1, half)
-                pair = DF(
-                    jnp.concatenate([first.hi, pair.hi[tuple(rest)]], axis=ax),
-                    jnp.concatenate([first.lo, pair.lo[tuple(rest)]], axis=ax),
-                )
+                if half == 1:
+                    # n == 3: `first` IS the whole reduced row — the
+                    # would-be rest slice(1, 1) is empty, and Mosaic
+                    # rejects 0-sized vector types ("positive constant
+                    # sizes but got 0"; r4 pallas-elem lowering failure)
+                    pair = first
+                else:
+                    rest = [slice(None)] * x.hi.ndim
+                    rest[ax] = slice(1, half)
+                    pair = DF(
+                        jnp.concatenate([first.hi, pair.hi[tuple(rest)]], axis=ax),
+                        jnp.concatenate([first.lo, pair.lo[tuple(rest)]], axis=ax),
+                    )
             x = pair
             n = half
         x = DF(jnp.squeeze(x.hi, axis=ax), jnp.squeeze(x.lo, axis=ax))
