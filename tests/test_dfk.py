@@ -138,6 +138,37 @@ from fem_shell_tpu.ops.elements import quad_shell_stiffness, tri_shell_stiffness
 
 MAT = Material(nu=0.3, em=1e7, thickness=0.5)
 dm, dp = (np.asarray(a, np.float64) for a in MAT.matrices())
+
+# self-contained golden prep: when the pytest wrapper has not produced
+# the CPU f64 reference files (e.g. tools/run_tpu_tests.py standalone,
+# or /tmp cleaned between rounds), generate them here on the host CPU
+# backend — identical arrays (same seed and code path as the wrapper).
+if not all(
+    os.path.exists(f"/tmp/dfk_parity_{n}_{k}.npy")
+    for n in ("quad", "tri") for k in ("ref", "xyz")
+):
+    rng = np.random.default_rng(3)
+    cpu = jax.devices("cpu")[0]
+    for name, m in (("quad", 4), ("tri", 3)):
+        fn = quad_shell_stiffness if m == 4 else tri_shell_stiffness
+        corners = (
+            np.array([[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]], np.float64)
+            if m == 4
+            else np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float64)
+        )
+        xyz = (rng.normal(size=(64, 1, 3)) * 5 + corners[None]
+               + 0.1 * rng.normal(size=(64, m, 3)))
+        xyz_t = np.ascontiguousarray(xyz.transpose(1, 2, 0))
+        with jax.default_device(cpu):
+            f64 = jax.jit(jax.vmap(
+                lambda p, fn=fn: fn(p, jnp.asarray(dm), jnp.asarray(dp),
+                                    MAT.thickness),
+                in_axes=2, out_axes=2,
+            ))
+            ref = np.asarray(f64(jnp.asarray(xyz_t)))
+        np.save(f"/tmp/dfk_parity_{name}_ref.npy", ref)
+        np.save(f"/tmp/dfk_parity_{name}_xyz.npy", xyz_t)
+
 for name, m in (("quad", 4), ("tri", 3)):
     ref = np.load(f"/tmp/dfk_parity_{name}_ref.npy")
     xyz_t = np.load(f"/tmp/dfk_parity_{name}_xyz.npy")

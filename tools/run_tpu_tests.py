@@ -93,11 +93,20 @@ st = build_exact_stencil(mesh, Material(0.3, 1e7, 0.5), s.offsets)
 tfl0, tfl1, tfl2, cls = class_flat_tables(st)
 hi, lo = class_pair_flat(jnp.asarray(tfl0), jnp.asarray(tfl1), jnp.asarray(cls), npad)
 cpair = DF(hi, lo)
+def _ld(pair_out):
+    # keep the two-f32 channels separate into longdouble: collapsing
+    # through df_to_f64 first floors the measurable error at f64 eps of
+    # the VALUE (~9e-16 of term scale with this fixture's cancellation),
+    # hiding the tf accumulator's 2^-70-class quality
+    LD = np.longdouble
+    return (np.asarray(pair_out.hi, np.float64).astype(LD)
+            + np.asarray(pair_out.lo, np.float64).astype(LD))
+
 with jax.default_matmul_precision("highest"):
-    y_df = np.asarray(df_to_f64(jax.jit(
-        lambda v, x: stencil_spmv_pallas_df_flat(v, x, s.offsets))(cpair, x)))
-    y_tf = np.asarray(df_to_f64(jax.jit(
-        lambda v, x: stencil_spmv_pallas_df_flat(v, x, s.offsets, tf=True))(cpair, x)))
+    y_df = _ld(jax.jit(
+        lambda v, x: stencil_spmv_pallas_df_flat(v, x, s.offsets))(cpair, x))
+    y_tf = _ld(jax.jit(
+        lambda v, x: stencil_spmv_pallas_df_flat(v, x, s.offsets, tf=True))(cpair, x))
 # oracle: direct longdouble matvec on the EXACT pair values (hi+lo);
 # error scale = the per-node sum of |terms| (what accumulation error is
 # proportional to)
