@@ -381,10 +381,25 @@ def _pl_rule_scatter(eqn, operand, indices, updates):
         ul = upd.lo.reshape((-1, upd.lo.shape[-1]))
         oh, ol = op.hi, op.lo
         blk = (1,) * nd + (op.hi.shape[-1],)
+        # static point updates via lax.pad + 0/1-masked add: Mosaic has
+        # no dynamic_update_slice lowering for TC kernels (r4), and the
+        # starts here are concrete python ints anyway. Exact in df: the
+        # mask zeroes the target exactly, the pad supplies exact zeros
+        # elsewhere, and x + 0 is exact.
         for n, ix in enumerate(flat):
-            starts = tuple(int(i) for i in ix) + (0,)
-            oh = jax.lax.dynamic_update_slice(oh, uh[n].reshape(blk), starts)
-            ol = jax.lax.dynamic_update_slice(ol, ul[n].reshape(blk), starts)
+            starts = tuple(int(i) for i in ix)
+            keep = np.ones(op.hi.shape[:-1] + (1,), np.float32)
+            keep[starts + (0,)] = 0.0
+            keep_t = _POOL.use(keep)
+            pads = [
+                (s, int(op.hi.shape[d]) - s - 1, 0)
+                for d, s in enumerate(starts)
+            ] + [(0, 0, 0)]
+            zero = jnp.zeros((), oh.dtype)
+            uh_full = jax.lax.pad(uh[n].reshape(blk), zero, pads)
+            ul_full = jax.lax.pad(ul[n].reshape(blk), zero, pads)
+            oh = oh * keep_t + uh_full
+            ol = ol * keep_t + ul_full
         return DF(oh, ol)
     return _BL_RULES["scatter"](eqn, operand, indices, updates)
 
