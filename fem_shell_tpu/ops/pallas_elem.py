@@ -294,14 +294,48 @@ def _pl_rule_gather(eqn, operand, indices):
 
 def _spread(upd, r0, dr, c0, dc, s0, s1):
     """upd [I, J, E] placed at rows r0::dr, cols c0::dc of zeros
-    [s0, s1, E]: lax.pad with interior (dilation) padding."""
+    [s0, s1, E]. Strided (dilated) placement must NOT use lax.pad with
+    interior padding — Mosaic has no lowering for it (r4, TPU-verified
+    NotImplementedError) — so dr>1/dc>1 builds the result from
+    concatenated zero blocks and unit slices instead (cols then rows,
+    ~2(I+J) pieces; concat and unit-stride slices lower fine)."""
     ni, nj = upd.shape[:2]
-    cfg = (
-        (r0, s0 - (r0 + (ni - 1) * dr + 1), dr - 1),
-        (c0, s1 - (c0 + (nj - 1) * dc + 1), dc - 1),
-        (0, 0, 0),
-    )
-    return jax.lax.pad(upd, jnp.zeros((), upd.dtype), cfg)
+    if dr == 1 and dc == 1:
+        cfg = (
+            (r0, s0 - (r0 + ni), 0),
+            (c0, s1 - (c0 + nj), 0),
+            (0, 0, 0),
+        )
+        return jax.lax.pad(upd, jnp.zeros((), upd.dtype), cfg)
+    e = upd.shape[2]
+    dt = upd.dtype
+
+    def z(r, c):
+        return jnp.zeros((r, c, e), dt)
+
+    pieces = []
+    if c0:
+        pieces.append(z(ni, c0))
+    for j in range(nj):
+        pieces.append(jax.lax.slice_in_dim(upd, j, j + 1, axis=1))
+        if j < nj - 1 and dc > 1:
+            pieces.append(z(ni, dc - 1))
+    tail = s1 - (c0 + (nj - 1) * dc + 1)
+    if tail:
+        pieces.append(z(ni, tail))
+    cols = jnp.concatenate(pieces, axis=1) if len(pieces) > 1 else pieces[0]
+
+    pieces = []
+    if r0:
+        pieces.append(z(r0, s1))
+    for i in range(ni):
+        pieces.append(jax.lax.slice_in_dim(cols, i, i + 1, axis=0))
+        if i < ni - 1 and dr > 1:
+            pieces.append(z(dr - 1, s1))
+    tail = s0 - (r0 + (ni - 1) * dr + 1)
+    if tail:
+        pieces.append(z(tail, s1))
+    return jnp.concatenate(pieces, axis=0) if len(pieces) > 1 else pieces[0]
 
 
 def _is_zero(v) -> bool:
