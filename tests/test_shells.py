@@ -103,6 +103,44 @@ def test_auto_cycle_is_V_on_curved_hierarchies():
 
 
 @pytest.mark.slow
+def test_roof_kcycle_beats_vcycle():
+    """cycle="K" (Notay K-cycle: each coarse system solved with 2
+    truncated-FCG steps preconditioned by the cycle visit) is the safe
+    way to buy depth-strength on the curved Galerkin hierarchy — every
+    application is a positive polynomial in A_c, so SPD-ness never
+    depends on a lambda(AM) < 2 certificate the roof violates (see
+    test_auto_cycle_is_V_on_curved_hierarchies). It is variable as a
+    preconditioner, so the outer CG must run flexible; the solve paths
+    wire that automatically from self.cycle. Measured r4 (f64 roof,
+    tools/roof_kcycle_probe.py): 75 -> 50 iters at n=64, 215 -> 53 at
+    n=256. K only pays off once the hierarchy is deep enough for the
+    coarse solve to be genuinely weak (at n=16/2-level the coarse solve
+    is near-exact and K's variable preconditioning costs iterations:
+    129 vs 115 measured) — so this pins the probe's n=64 auto-depth
+    configuration: same answer as V, strictly fewer iterations."""
+    import jax.numpy as jnp
+
+    from fem_shell_tpu.mg import MultigridShellSystem
+
+    mesh, forces, mid = scordelis_lo(64)
+    w_ref = None
+    iters = {}
+    for cyc in ("V", "K"):
+        mg = MultigridShellSystem(mesh, SCORDELIS_LO_MATERIAL,
+                                  dtype=jnp.float64, smoother="chebyshev",
+                                  cycle=cyc)
+        u = mg.solve(forces, rtol=1e-9, maxiter=600)
+        assert float(mg.last_cg.residual) < 1e-8
+        w = float(u[mid, 2])
+        if w_ref is None:
+            w_ref = w
+        np.testing.assert_allclose(w, w_ref, rtol=1e-6)
+        iters[cyc] = int(mg.last_cg.iters)
+    # K must strictly strengthen the deep cycle (probe: 75 -> 50)
+    assert iters["K"] < iters["V"], iters
+
+
+@pytest.mark.slow
 def test_scordelis_lo_richardson():
     """Mesh halving gains ~2x accuracy; Richardson extrapolation of the
     16/32 pair must land within 1% of the canonical 0.3024."""
