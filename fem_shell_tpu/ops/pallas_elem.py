@@ -26,8 +26,10 @@ tools/run_tpu_tests.py):
   membrane/plate/drilling superposition, elements.py:_superpose). All
   integer subcomputations constant-fold on the host; gathers with
   product-structured concrete indices become strided lax.slice,
-  scatter-sets become mask-multiply + interior-padded spread (lax.pad
-  with dilation), with unrolled dynamic_update_slice fallbacks.
+  scatter-sets become mask-multiply + zero-block spread (concatenated
+  unit slices — Mosaic lowers neither interior-padded lax.pad nor
+  dynamic_update_slice in TC kernels, both TPU-verified r4), with
+  unrolled static pad+mask point updates as the fallback.
 - NO captured non-scalar non-splat constants: every concrete float
   array that mixes into traced arithmetic (material-matrix jaxpr
   consts, scatter keep-masks, quadrature tables) is routed through a
@@ -275,12 +277,28 @@ def _pl_rule_gather(eqn, operand, indices):
                 e = operand.hi.shape[-1]
 
                 def sl(a):
-                    return jax.lax.slice(
-                        a,
-                        (r0, c0, 0),
-                        (r0 + (ni - 1) * dr + 1, c0 + (nj - 1) * dc + 1, e),
-                        (dr, dc, 1),
-                    )
+                    # Mosaic only lowers unit-stride slices in TC
+                    # kernels (vector.extract_strided_slice strides must
+                    # be 1, TPU-verified r4): a strided gather becomes
+                    # per-row/col unit slices + concat.
+                    if dr == 1 and dc == 1:
+                        return jax.lax.slice(
+                            a, (r0, c0, 0), (r0 + ni, c0 + nj, e))
+                    rows = jax.lax.slice(
+                        a, (r0, 0, 0), (r0 + (ni - 1) * dr + 1, a.shape[1], e))
+                    if dr > 1:
+                        rows = jnp.concatenate(
+                            [jax.lax.slice_in_dim(rows, i * dr, i * dr + 1,
+                                                  axis=0)
+                             for i in range(ni)], axis=0)
+                    cols = jax.lax.slice(
+                        rows, (0, c0, 0), (ni, c0 + (nj - 1) * dc + 1, e))
+                    if dc > 1:
+                        cols = jnp.concatenate(
+                            [jax.lax.slice_in_dim(cols, j * dc, j * dc + 1,
+                                                  axis=1)
+                             for j in range(nj)], axis=1)
+                    return cols
 
                 return DF(sl(operand.hi), sl(operand.lo))
     if point:
@@ -292,6 +310,30 @@ def _pl_rule_gather(eqn, operand, indices):
     return _BL_RULES["gather"](eqn, operand, indices)
 
 
+def _embed(upd, starts, full_shape):
+    """upd placed at compile-time-constant ``starts`` inside zeros of
+    ``full_shape`` (trailing axes of upd beyond len(starts) are kept
+    whole, e.g. the E axis). Built purely from jnp.concatenate with
+    zero blocks — Mosaic lowers neither interior-padded lax.pad nor
+    dynamic_update_slice in TC kernels (both TPU-verified r4), while
+    concat of static blocks lowers fine."""
+    out = upd
+    for d, s in enumerate(starts):
+        before = int(s)
+        after = int(full_shape[d]) - before - int(out.shape[d])
+        pieces = []
+        if before:
+            sh = out.shape[:d] + (before,) + out.shape[d + 1:]
+            pieces.append(jnp.zeros(sh, out.dtype))
+        pieces.append(out)
+        if after:
+            sh = out.shape[:d] + (after,) + out.shape[d + 1:]
+            pieces.append(jnp.zeros(sh, out.dtype))
+        if len(pieces) > 1:
+            out = jnp.concatenate(pieces, axis=d)
+    return out
+
+
 def _spread(upd, r0, dr, c0, dc, s0, s1):
     """upd [I, J, E] placed at rows r0::dr, cols c0::dc of zeros
     [s0, s1, E]. Strided (dilated) placement must NOT use lax.pad with
@@ -301,12 +343,7 @@ def _spread(upd, r0, dr, c0, dc, s0, s1):
     ~2(I+J) pieces; concat and unit-stride slices lower fine)."""
     ni, nj = upd.shape[:2]
     if dr == 1 and dc == 1:
-        cfg = (
-            (r0, s0 - (r0 + ni), 0),
-            (c0, s1 - (c0 + nj), 0),
-            (0, 0, 0),
-        )
-        return jax.lax.pad(upd, jnp.zeros((), upd.dtype), cfg)
+        return _embed(upd, (r0, c0), (s0, s1))
     e = upd.shape[2]
     dt = upd.dtype
 
@@ -365,21 +402,32 @@ def _pl_rule_scatter(eqn, operand, indices, updates):
     e = _pl_E([upd])
     upd = _bcast_e(upd, e)
 
-    # window scatter with one scalar-tuple index == static DUS
+    # window scatter with one scalar-tuple index == static update-slice.
+    # Mosaic has no dynamic_update_slice lowering for TC kernels (r4,
+    # TPU-verified NotImplementedError) — the starts are concrete python
+    # ints, so build it as a concat-embedded update + 0/1-masked add,
+    # which is EXACT in df: the mask zeroes the window exactly, _embed
+    # supplies exact zeros elsewhere, and x + 0 is exact.
     if (
         idx.ndim == 1
         and tuple(dn.inserted_window_dims) == ()
         and tuple(dn.update_window_dims) == tuple(range(upd.hi.ndim - 1))
     ):
-        op = _mix_any(operand) if not (isinstance(operand, DF) and _traced(operand)) else operand
-        op = _bcast_e(op, e)
-        starts = [0] * op.hi.ndim
+        starts = [0] * len(op_shape)
         for i, d in enumerate(dn.scatter_dims_to_operand_dims):
             starts[d] = int(idx[i])
-        return DF(
-            jax.lax.dynamic_update_slice(op.hi, upd.hi, tuple(starts)),
-            jax.lax.dynamic_update_slice(op.lo, upd.lo, tuple(starts)),
-        )
+        wnd = upd.hi.shape
+        uh_full = _embed(upd.hi, starts, op_shape)
+        ul_full = _embed(upd.lo, starts, op_shape)
+        if op_zero:
+            return DF(uh_full, ul_full)
+        op = _mix_any(operand) if not (isinstance(operand, DF) and _traced(operand)) else operand
+        op = _bcast_e(op, e)
+        keep = np.ones(tuple(op_shape) + (1,), np.float32)
+        keep[tuple(slice(s, s + w) for s, w in zip(starts, wnd))
+             + (slice(None),)] = 0.0
+        keep_t = _POOL.use(keep)
+        return DF(op.hi * keep_t + uh_full, op.lo * keep_t + ul_full)
 
     nd = idx.shape[-1]
     point = (
@@ -415,23 +463,18 @@ def _pl_rule_scatter(eqn, operand, indices, updates):
         ul = upd.lo.reshape((-1, upd.lo.shape[-1]))
         oh, ol = op.hi, op.lo
         blk = (1,) * nd + (op.hi.shape[-1],)
-        # static point updates via lax.pad + 0/1-masked add: Mosaic has
-        # no dynamic_update_slice lowering for TC kernels (r4), and the
-        # starts here are concrete python ints anyway. Exact in df: the
-        # mask zeroes the target exactly, the pad supplies exact zeros
-        # elsewhere, and x + 0 is exact.
+        # static point updates via concat-embed + 0/1-masked add: Mosaic
+        # has no dynamic_update_slice lowering for TC kernels (r4), and
+        # the starts here are concrete python ints anyway. Exact in df:
+        # the mask zeroes the target exactly, _embed supplies exact
+        # zeros elsewhere, and x + 0 is exact.
         for n, ix in enumerate(flat):
             starts = tuple(int(i) for i in ix)
             keep = np.ones(op.hi.shape[:-1] + (1,), np.float32)
             keep[starts + (0,)] = 0.0
             keep_t = _POOL.use(keep)
-            pads = [
-                (s, int(op.hi.shape[d]) - s - 1, 0)
-                for d, s in enumerate(starts)
-            ] + [(0, 0, 0)]
-            zero = jnp.zeros((), oh.dtype)
-            uh_full = jax.lax.pad(uh[n].reshape(blk), zero, pads)
-            ul_full = jax.lax.pad(ul[n].reshape(blk), zero, pads)
+            uh_full = _embed(uh[n].reshape(blk), starts, op.hi.shape[:-1])
+            ul_full = _embed(ul[n].reshape(blk), starts, op.hi.shape[:-1])
             oh = oh * keep_t + uh_full
             ol = ol * keep_t + ul_full
         return DF(oh, ol)
