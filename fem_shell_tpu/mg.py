@@ -1367,7 +1367,8 @@ class MultigridShellSystem:
                      flexible=self.cycle == "K")
         return df_to_f64(res.x), res.iters, res.residual
 
-    def solve_df(self, forces, rtol: float = 1e-9, maxiter: int = 2000):
+    def solve_df(self, forces, rtol: float = 1e-9, maxiter: int = 2000,
+                 return_device: bool = False):
         if self.df_operator:
             # the df pair is ~2x the operator size — it MUST cross the jit
             # boundary as an ARGUMENT (closure constants are embedded into
@@ -1383,9 +1384,7 @@ class MultigridShellSystem:
                     impl, static_argnums=(nstat, nstat + 1)
                 )
             lvl = self._fine
-            f = np.zeros((lvl.npad, 6))
-            f[: lvl.nyp * lvl.nxp] = np.asarray(forces)
-            f_t = jnp.asarray(f.T, jnp.float64)
+            f_t = self._staged_forces(forces)
             with jax.default_matmul_precision("highest"):
                 if self._cdf is not None:
                     x64, iters, res = self._solve_df_jit(
@@ -1401,6 +1400,8 @@ class MultigridShellSystem:
                     )
             self.last_iters = int(iters)
             self.last_residual = float(res)
+            if return_device:
+                return x64
             return np.asarray(x64).T[: lvl.nyp * lvl.nxp]
         if self.dtype == jnp.float32:
             levels32 = self.levels
@@ -1630,6 +1631,38 @@ class MultigridShellSystem:
         bn = jnp.sqrt(df_dot_f64(b, b))
         return r, rn / bn
 
+    # -- device-resident force/solution staging -----------------------
+    # On the remote accelerator the HOST<->DEVICE round trip of a full
+    # field costs more than the entire 1024^2 device solve (measured:
+    # 52 MB f64 uploads ~1.2 s, downloads 1.6-5.5 s through the tunnel,
+    # vs 55 x 27 ms of CG iterations). A coupled driver's steady state
+    # never needs that trip: force mapping and interface extraction are
+    # jax ops, so the full fields can stay on device across timesteps
+    # (the reference's analog: PETSc vectors stay in device/process
+    # memory; only interface values cross, fem-shell_precice.cpp).
+    def stage_forces(self, forces):
+        """Upload a host [n, 6] force field once; returns the [6, npad]
+        f64 device array that solve_df / solve_df_refined accept in
+        place of host forces."""
+        fine = self._fine
+        n = fine.nyp * fine.nxp
+        f = np.zeros((fine.npad, 6))
+        f[:n] = np.asarray(forces)
+        return jnp.asarray(f.T, jnp.float64)
+
+    def _staged_forces(self, forces):
+        """Pass through a pre-staged [6, npad] device array; build one
+        from host data otherwise."""
+        fine = self._fine
+        if isinstance(forces, jax.Array) and forces.shape == (6, fine.npad):
+            return forces
+        return self.stage_forces(forces)
+
+    def fetch_solution(self, x_t):
+        """Host [n, 6] view of a device-resident [6, npad] solution."""
+        fine = self._fine
+        return np.asarray(x_t).T[: fine.nyp * fine.nxp]
+
     def solve_df_refined(
         self,
         forces,
@@ -1639,6 +1672,7 @@ class MultigridShellSystem:
         inner_rtol: float = 1e-5,
         inner_maxiter: int = 200,
         verbose: bool = False,
+        return_device: bool = False,
     ):
         """df MG-CG + exact-stencil iterative refinement: drive the TRUE
         residual (vs the longdouble class-table operator) toward ``rtol``.
@@ -1673,9 +1707,7 @@ class MultigridShellSystem:
 
         fine = self._fine
         n = fine.nyp * fine.nxp
-        f = np.zeros((fine.npad, 6))
-        f[:n] = np.asarray(forces)
-        f_t = jnp.asarray(f.T, jnp.float64)
+        f_t = self._staged_forces(forces)
         if not hasattr(self, "_inner_df_jit"):
             # rtol/maxiter stay DYNAMIC (traced scalars): the initial
             # solve and every refinement solve share ONE compiled CG
@@ -1692,7 +1724,7 @@ class MultigridShellSystem:
         )
         with jax.default_matmul_precision("highest"):
             b = self._b_jit(f_t, fine.free_t)
-            del f, f_t  # 255 MB f64 forces buffer — HBM is pair-dominated
+            del f_t  # 255 MB f64 forces buffer — HBM is pair-dominated
             x, it0, _ = self._inner_df_jit(
                 self._fine_df, levels_arg, b, float(inner_rtol), int(maxiter)
             )
@@ -1726,6 +1758,8 @@ class MultigridShellSystem:
         self.last_iters = total
         self.last_residual = hist[-1] if hist else float("nan")
         self.refine_history = hist
+        if return_device:
+            return x64  # [6, npad] on device; see fetch_solution
         return np.asarray(x64).T[:n]
 
     # ------------------------------------------------------------------

@@ -128,3 +128,27 @@ def test_coarse_op_auto_selection():
     with pytest.raises(ValueError):
         MultigridShellSystem(roof, SCORDELIS_LO_MATERIAL, n_levels=2,
                              coarse_op="nonsense")
+
+
+def test_staged_forces_device_resident_io():
+    """stage_forces / return_device / fetch_solution: the device-resident
+    IO contract (the remote-tunnel full-field round trip costs more than
+    the whole 1024^2 device solve, r5) must be bit-identical to the host
+    path — same jitted program, same operands."""
+    p = MeshGenParams("q", 16, 16, 0, 0, 10, 10, (0, 0, 0, 0), 300.0, 2, True, "z")
+    mesh, rows, fac = generate(p)
+    forces = rows * fac
+    mg = MultigridShellSystem(p, MAT, dtype=jnp.float32, df_operator=True,
+                              use_pallas=False)
+    u_host = mg.solve_df(forces, rtol=1e-9)
+    f_dev = mg.stage_forces(forces)
+    assert f_dev.shape == (6, mg._fine.npad)
+    x_dev = mg.solve_df(f_dev, rtol=1e-9, return_device=True)
+    u_dev = mg.fetch_solution(x_dev)
+    np.testing.assert_array_equal(u_host, u_dev)
+    # refined path accepts the same staged handle
+    x_ref = mg.solve_df_refined(f_dev, rtol=1e-7, return_device=True)
+    u_ref = mg.fetch_solution(x_ref)
+    # loose bound: CPU-jitted EFTs are degraded (ops/df.py docstring) —
+    # this checks the staged-handle PLUMBING, not df accuracy (TPU runner)
+    assert np.abs(u_ref - u_host).max() < 1e-4 * np.abs(u_host).max()

@@ -89,7 +89,9 @@ def main():
             )
         return jnp.sum(c.hi)
 
-    timed("pad df matvec", mv_chain, x2)
+    stages = os.environ.get("ITER_COST_STAGES", "abcd")
+    if "a" in stages:
+        timed("pad df matvec", mv_chain, x2)
 
     # (b) pad V-cycle — levels cross the jit boundary as ARGUMENTS
     # (closure constants embed in the HLO -> remote 413 at this scale)
@@ -100,7 +102,8 @@ def main():
             c = z / jnp.max(jnp.abs(z))
         return jnp.sum(c)
 
-    timed("pad V-cycle (full)", vc_chain, mg.levels, x2)
+    if "b" in stages:
+        timed("pad V-cycle (full)", vc_chain, mg.levels, x2)
 
     # (c) CG vector ops: pcg_df with identity prec and trivial mv
     from fem_shell_tpu.solver_df import pcg_df
@@ -108,10 +111,15 @@ def main():
     def cg_chain(x2):
         b = DF(x2, jnp.zeros_like(x2))
         mv = lambda v: DF(v.hi * 1.0001, v.lo * 1.0001)  # noqa: E731
-        res = pcg_df(mv, b, rtol=0.0, maxiter=ITERS)
+        res = pcg_df(mv, b, rtol=0.0, maxiter=ITERS,
+                     apply_prec=lambda r: r)
         return jnp.sum(res.x.hi)
 
-    timed("pcg_df overhead (identity)", cg_chain, x2)
+    if "c" in stages:
+        timed("pcg_df overhead (identity)", cg_chain, x2)
+
+    if "d" not in stages:
+        return
 
     # (d) the composed production solve at fixed iteration count
     t0 = time.perf_counter()
