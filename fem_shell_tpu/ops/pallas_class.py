@@ -246,9 +246,18 @@ class _PadGridSpec:
         self.q = self.pxq // LANES
         self.row_mult = row_mult
         self.pyp_pad = _ceil_to(self.pyp, 8 * row_mult)
+        # r_tile = 8*q keeps one kernel step = 8 grid rows, but the
+        # _accumulate temporaries (per-offset window slabs) scale with
+        # r_tile + 2hr and blow the 16 MB scoped-VMEM budget on wide
+        # grids (2304^2: r_tile 152, 16.6 MB — the AOT compiler rejects
+        # the kernel). Cap the tile at 96 lane-rows and pad pyp_pad
+        # until the tile divides nr; grids at or below 1024^2 (q <= 12)
+        # keep their exact previous layout.
+        self.r_tile = min(8 * self.q * row_mult, 96 * row_mult)
+        while (self.pyp_pad * self.q) % self.r_tile:
+            self.pyp_pad += 8 * row_mult
         self.nf2 = self.pyp_pad * self.pxq
         self.nr = self.nf2 // LANES
-        self.r_tile = 8 * self.q * row_mult
         halo = self.pxq + 1
         self.hr = _ceil_to(_ceil_to(halo, LANES) // LANES + 1, 8)
 
