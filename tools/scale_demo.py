@@ -91,29 +91,35 @@ def main():
     # separately below).
     ctr = mesh.n_nodes // 2
     f_dev = mg.stage_forces(forces)
-    t0 = time.perf_counter()
-    mg.reassemble()
-    t_asm = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    x_dev = mg.solve_df_refined(f_dev, rtol=1e-9, return_device=True)
-    w = float(x_dev[2, ctr])  # device sync via a solve-dependent value
-    t_solve = time.perf_counter() - t0
+    # two (rebuild, solve) cycles: the FIRST rebuild after a solve is a
+    # one-time transition (allocator churn + program reloads — same
+    # pattern bench.py documents at 1024^2); the SECOND cycle is the
+    # steady-state repeating cost a coupled driver pays per timestep.
+    for label in ("warm (transition)", "warm (steady state)"):
+        t0 = time.perf_counter()
+        mg.reassemble()
+        t_asm = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        x_dev = mg.solve_df_refined(f_dev, rtol=1e-9, return_device=True)
+        w = float(x_dev[2, ctr])  # device sync via a solve-dependent value
+        t_solve = time.perf_counter() - t0
+        print(
+            f"{label}: operator rebuild {t_asm:.2f} s "
+            f"({n_elem / t_asm / 1e6:.2f} Melem/s equivalent; fine level = "
+            f"{'class tables' if mg._cdf is not None else 'grid-df pair'})  "
+            f"solve {t_solve:.2f} s ({mg.last_iters} inner iters, "
+            f"true res={mg.last_residual:.2e})  overall {t_asm + t_solve:.2f} s  "
+            f"center w={w:.7f} err={abs(w - GOLDEN) / GOLDEN:.2e}",
+            flush=True,
+        )
+        err = abs(w - GOLDEN) / GOLDEN
+        assert err < 2e-3, f"warm golden miss: {w} vs {GOLDEN}"
     t0 = time.perf_counter()
     u = mg.fetch_solution(x_dev)
     t_fetch = time.perf_counter() - t0
     assert abs(float(u[ctr, 2]) - w) < 1e-12
-    print(
-        f"warm: operator rebuild {t_asm:.2f} s "
-        f"({n_elem / t_asm / 1e6:.2f} Melem/s equivalent; fine level = "
-        f"{'class tables' if mg._cdf is not None else 'grid-df pair'})  "
-        f"solve {t_solve:.2f} s ({mg.last_iters} inner iters, "
-        f"true res={mg.last_residual:.2e})  overall {t_asm + t_solve:.2f} s  "
-        f"full-field host fetch {t_fetch:.2f} s  "
-        f"center w={w:.7f} err={abs(w - GOLDEN) / GOLDEN:.2e}",
-        flush=True,
-    )
-    err = abs(w - GOLDEN) / GOLDEN
-    assert err < 2e-3, f"warm golden miss: {w} vs {GOLDEN}"
+    print(f"full-field host fetch {t_fetch:.2f} s (255 MB f64 through the "
+          f"remote link; steady-state fields stay device-resident)", flush=True)
 
 
 if __name__ == "__main__":
