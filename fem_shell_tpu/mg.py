@@ -373,6 +373,7 @@ class MultigridShellSystem:
         coarse_op: Optional[str] = None,
         cycle: Optional[str] = None,
         sym_spmv: Optional[bool] = None,
+        df_cycle: bool = False,
     ):
         """``df_operator=True`` is the multi-million-element configuration:
         every level is strip-assembled into a df (two-f32) operator
@@ -395,12 +396,28 @@ class MultigridShellSystem:
         = auto: galerkin when the mesh is non-planar (CURVED structured
         shells — rediscretized coarse facet surfaces stagnate the
         V-cycle, see stencil_rap's docstring), rediscretize on flat
-        meshes (identical goldens/iteration counts to previous rounds)."""
+        meshes (identical goldens/iteration counts to previous rounds).
+
+        ``df_cycle`` (df_operator mode): apply the WHOLE cycle in df
+        (two-f32) arithmetic — level operators kept as df pairs (Galerkin
+        levels via mg_df.stencil_rap_df), level vectors/residuals/
+        transfers df-accumulated, coarsest solved by an f64 dense
+        inverse of the df pair.  This is the precision the
+        near-inextensional curved shells need: the f32 cycle application
+        stalls the roof CG five decades short even with exact coarse
+        operators (r4 tools/roof_prec_probe.py), while TPU-emulated f64
+        cycles are unavailable at scale (worker crash >=66k nodes).
+        Costs ~2x the f32 cycle per application (df matvec streams the
+        pair)."""
         if isinstance(mesh, MeshGenParams):
             mesh, _, _ = generate(mesh)
         self.material = material
         self.dtype = dtype
         self.df_operator = df_operator
+        if df_cycle and not df_operator:
+            raise ValueError("df_cycle requires df_operator=True (the df "
+                             "level pairs come from the df assembly)")
+        self.df_cycle = bool(df_cycle)
         self.nu_smooth = nu_smooth
         # omega None = per-level auto-damping: lambda_max(D^-1 A) is
         # estimated by power iteration and omega = 4/(3 lambda_max) — the
@@ -512,6 +529,9 @@ class MultigridShellSystem:
         self._systems: List = []  # per-level assemblers, kept for reassemble()
         self._cdf = None  # matrix-free class operator (set by the l==0 branch)
         self._fine_df = None
+        # df_cycle: per-level df value pairs (fine entry None — the fine
+        # pair is self._fine_df, passed to jit once; coarse entries flat)
+        self._pairs: List[Optional[object]] = []
         for l in range(n_levels):
             f = 2**l
             if (grid.nxp - 1) % f or (grid.nyp - 1) % f:
@@ -537,7 +557,10 @@ class MultigridShellSystem:
             if not assemble:
                 # lazy construction (solve_fused assembles every level
                 # inside its single jitted program per call)
+                if self.df_cycle:
+                    raise ValueError("df_cycle requires assembled levels")
                 self._systems.append(sys_l)
+                self._pairs.append(None)
                 self.levels.append(
                     _Level(
                         values=None,
@@ -555,8 +578,16 @@ class MultigridShellSystem:
                 )
                 continue
             if galerkin_l:
-                values, diag, offs = self._rap_level(self.levels[l - 1], sys_l, l)
                 self._systems.append(sys_l)
+                pair_l = None
+                if self.df_cycle:
+                    prev_pair = self._fine_df if l == 1 else self._pairs[l - 1]
+                    pair_l, diag, offs = self._rap_level_df(
+                        prev_pair, self.levels[l - 1], sys_l
+                    )
+                    values = pair_l.hi
+                else:
+                    values, diag, offs = self._rap_level(self.levels[l - 1], sys_l, l)
                 lvl = _Level(
                     values=values,
                     offsets=offs,
@@ -568,8 +599,10 @@ class MultigridShellSystem:
                 )
                 om, lam = self._level_omega(lvl)
                 self.levels.append(dataclasses.replace(lvl, omega=om, lam=lam))
+                self._pairs.append(pair_l)
                 continue
-            if df_operator and l == 0 and class_operator is not False and n_levels > 1:
+            if (df_operator and l == 0 and class_operator is not False
+                    and n_levels > 1 and not self.df_cycle):
                 # matrix-free fine level: exact-stencil class tables
                 # instead of a materialized pair (uniform grids only —
                 # build_exact_stencil raises on anything else)
@@ -583,6 +616,7 @@ class MultigridShellSystem:
                     self._cdf = cparts
                     self._fine_df = None
                     self._systems.append(sys_l)
+                    self._pairs.append(None)
                     lvl = _Level(
                         values=None,
                         offsets=tuple(int(o) for o in sys_l.offsets),
@@ -628,9 +662,13 @@ class MultigridShellSystem:
                     self._fine_df = pair
                 values = pair.hi
             else:
+                pair = None
                 values = sys_l.assemble()
                 diag = None
             self._systems.append(sys_l)
+            # df_cycle coarse levels keep their full pair (the fine pair
+            # lives in self._fine_df; everyone else drops lo by refcount)
+            self._pairs.append(pair if (self.df_cycle and l > 0) else None)
             if diag is None:
                 diag = self._diag_of(values, sys_l.offsets)
             lvl = _Level(
@@ -653,7 +691,11 @@ class MultigridShellSystem:
             self._build_fine_sym()
 
         if assemble:
-            self.levels[-1] = self._coarse_factor(self.levels[-1])
+            if self.df_cycle:
+                cpair = self._pairs[-1] if n_levels > 1 else self._fine_df
+                self.levels[-1] = self._coarse_factor_df(self.levels[-1], cpair)
+            else:
+                self.levels[-1] = self._coarse_factor(self.levels[-1])
 
         self._solve_jit = jax.jit(self._solve_impl, static_argnums=(2, 3))
 
@@ -766,6 +808,62 @@ class MultigridShellSystem:
         return values, diag, offs
 
     # ------------------------------------------------------------------
+    def _rap_level_df(self, prev_pair, prev: _Level, sys_l):
+        """df Galerkin level from the previous level's df PAIR
+        (mg_df.stencil_rap_df): the coarse operator keeps ~eps49 of the
+        fine pair's value instead of the f32 RAP's accumulated
+        cancellation error. Tiled (4D) pairs are untiled INSIDE the
+        jitted program so the flat copy is a compiler-managed
+        temporary."""
+        from fem_shell_tpu.mg_df import stencil_rap_df
+        from fem_shell_tpu.ops.df import DF
+
+        if not hasattr(self, "_rap_df_jit"):
+            def _rap_df(hi, lo, free_c, offs, nyp, nxp, npad_c):
+                if hi.ndim == 4:
+                    from fem_shell_tpu.ops.assemble_grid import untile_values
+
+                    hi, lo = untile_values(hi), untile_values(lo)
+                return stencil_rap_df(DF(hi, lo), free_c, offs, nyp, nxp, npad_c)
+
+            self._rap_df_jit = jax.jit(_rap_df, static_argnums=(3, 4, 5, 6))
+        pair = self._rap_df_jit(
+            prev_pair.hi,
+            prev_pair.lo,
+            sys_l.free_t.astype(jnp.float32),
+            prev.offsets,
+            prev.nyp,
+            prev.nxp,
+            sys_l.pattern.n_pad,
+        )
+        offs = grid_rap_offsets(prev.nxp // 2 + 1)
+        diag = self._diag_of(pair.hi, offs)
+        return pair, diag, offs
+
+    # ------------------------------------------------------------------
+    def _coarse_factor_df(self, c: _Level, pair) -> _Level:
+        """Coarsest-level factor for the df cycle: f64 HOST inverse of
+        the FULL df pair (hi + lo). The production f32 Cholesky is
+        exactly the precision the df cycle exists to avoid, and on the
+        roof the inverse's entries span the f32 range (see _vcycle's
+        dense_inv comment). The coarsest is coarse_max-bounded, so the
+        host round trip is negligible."""
+        if pair.hi.ndim == 4:
+            from fem_shell_tpu.ops.assemble_grid import untile_values
+            from fem_shell_tpu.ops.df import DF
+
+            pair = DF(untile_values(pair.hi), untile_values(pair.lo))
+        dh = np.asarray(_densify(dataclasses.replace(c, values=pair.hi)), np.float64)
+        dl = np.asarray(_densify(dataclasses.replace(c, values=pair.lo)), np.float64)
+        inv = np.linalg.inv(dh + dl)
+        return dataclasses.replace(
+            c,
+            dense_inv=jnp.asarray(inv, jnp.float64),
+            chol=None,
+            chol_scale=None,
+        )
+
+    # ------------------------------------------------------------------
     def _build_class_level(self, mesh, sys_l, timings: Optional[dict] = None):
         """Host: exact-stencil tables -> matrix-free class operator parts
         for the fine level (raises ValueError off uniform grids)."""
@@ -824,7 +922,16 @@ class MultigridShellSystem:
                 continue
             if l > 0 and self.coarse_op == "galerkin":
                 self.levels[l] = dataclasses.replace(self.levels[l], values=None)
-                values, diag, offs = self._rap_level(self.levels[l - 1], sys_l, l)
+                if self.df_cycle:
+                    self._pairs[l] = None  # release before rebuilding
+                    prev_pair = self._fine_df if l == 1 else self._pairs[l - 1]
+                    pair_l, diag, offs = self._rap_level_df(
+                        prev_pair, self.levels[l - 1], sys_l
+                    )
+                    self._pairs[l] = pair_l
+                    values = pair_l.hi
+                else:
+                    values, diag, offs = self._rap_level(self.levels[l - 1], sys_l, l)
                 prof.mark(f"L{l}/rap", values, diag)
                 lvl = dataclasses.replace(
                     self.levels[l],
@@ -839,6 +946,8 @@ class MultigridShellSystem:
             # release the old operator FIRST: at the largest scale two df
             # pairs cannot coexist in HBM
             self.levels[l] = dataclasses.replace(self.levels[l], values=None)
+            if self._pairs and l < len(self._pairs):
+                self._pairs[l] = None
             if self.df_operator:
                 layout = (
                     "tiled" if (self.use_pallas and l < self.n_levels - 1) else "flat"
@@ -860,6 +969,8 @@ class MultigridShellSystem:
                 )
                 if l == 0:
                     self._fine_df = pair
+                elif self.df_cycle:
+                    self._pairs[l] = pair
                 values = pair.hi
             else:
                 values = sys_l.assemble()
@@ -876,7 +987,11 @@ class MultigridShellSystem:
             om, lam = self._level_omega(lvl)
             prof.mark(f"L{l}/omega", om, lam)
             self.levels[l] = dataclasses.replace(lvl, omega=om, lam=lam)
-        c = self._coarse_factor(self.levels[-1])
+        if self.df_cycle:
+            cpair = self._pairs[-1] if self.n_levels > 1 else self._fine_df
+            c = self._coarse_factor_df(self.levels[-1], cpair)
+        else:
+            c = self._coarse_factor(self.levels[-1])
         self.levels[-1] = c
         prof.mark("coarse/factor", c.chol if c.chol is not None else c.dense_inv)
         self._fine = self.levels[0]
@@ -1108,6 +1223,130 @@ class MultigridShellSystem:
         alpha2 = sdiv(jnp.sum(p * r), jnp.sum(p * qp))
         return alpha1 * z1 + alpha2 * p
 
+    # ------------------------------------------------------------------
+    # df-valued cycle (df_cycle=True): the f32 cycle application is the
+    # precision bottleneck on near-inextensional curved hierarchies —
+    # see mg_df.py's header for the r4 evidence. Level vectors are DF
+    # pairs end-to-end; structure mirrors _vcycle/_coarse_visit/_ksolve.
+    def _mv_df(self, lvl: _Level, pair, x):
+        from fem_shell_tpu.ops.df import df_stencil_matvec
+
+        if pair.hi.ndim == 4:  # tile-major pair => Pallas df kernel
+            from fem_shell_tpu.ops.pallas_spmv_df import stencil_spmv_pallas_df
+
+            return stencil_spmv_pallas_df(pair.hi, pair.lo, x, lvl.offsets)
+        return df_stencil_matvec(pair, x, lvl.offsets)
+
+    def _smooth_df(self, lvl: _Level, pair, x, b, sweeps):
+        from fem_shell_tpu.mg_df import smooth_cheby_df, smooth_jacobi_df
+
+        mv = lambda v: self._mv_df(lvl, pair, v)  # noqa: E731
+        if self.smoother == "chebyshev" and lvl.lam is not None:
+            return smooth_cheby_df(
+                mv, x, b, lvl.inv_diag, lvl.lam, self.cheby_lo, sweeps
+            )
+        omega = self.omega if lvl.omega is None else lvl.omega
+        return smooth_jacobi_df(mv, x, b, omega * lvl.inv_diag, sweeps)
+
+    def _vcycle_df(self, levels, pairs, li: int, b):
+        from fem_shell_tpu.mg_df import (
+            from_grid_df,
+            mask_df,
+            prolong_df,
+            restrict_df,
+            to_grid_df,
+        )
+        from fem_shell_tpu.ops.df import (
+            df_add,
+            df_from_f64,
+            df_neg,
+            df_zeros_like,
+        )
+
+        lvl = levels[li]
+        if lvl.dense_inv is not None:
+            # f64 dense inverse of the full df coarsest pair
+            # (_coarse_factor_df); the rhs folds hi+lo losslessly into
+            # f64 and the correction splits back into a df pair
+            n_real = lvl.nyp * lvl.nxp
+            dt = lvl.dense_inv.dtype
+            rhs = (
+                b.hi[:, :n_real].astype(dt) + b.lo[:, :n_real].astype(dt)
+            ).reshape(-1)
+            z64 = (lvl.dense_inv @ rhs).reshape(6, n_real)
+            z = df_from_f64(jnp.pad(z64, ((0, 0), (0, lvl.npad - n_real))))
+            return mask_df(z, lvl.free_t)
+        x = df_zeros_like(b)
+        x = self._smooth_df(lvl, pairs[li], x, b, self.nu_smooth)
+        r = df_add(b, df_neg(self._mv_df(lvl, pairs[li], x)))
+        nxt = levels[li + 1]
+        rc = mask_df(
+            from_grid_df(restrict_df(to_grid_df(r, lvl.nyp, lvl.nxp)), nxt.npad),
+            nxt.free_t,
+        )
+        ec = self._coarse_visit_df(levels, pairs, li + 1, rc)
+        corr = mask_df(
+            from_grid_df(prolong_df(to_grid_df(ec, nxt.nyp, nxt.nxp)), lvl.npad),
+            lvl.free_t,
+        )
+        x = df_add(x, corr)
+        x = self._smooth_df(lvl, pairs[li], x, b, self.nu_smooth)
+        return x
+
+    def _coarse_visit_df(self, levels, pairs, li: int, rc):
+        from fem_shell_tpu.mg_df import mask_df
+        from fem_shell_tpu.ops.df import df_add, df_neg
+
+        nxt = levels[li]
+        direct = nxt.chol is not None or nxt.dense_inv is not None
+        if self.cycle == "K" and li < len(levels) - 1 and not direct:
+            return self._ksolve_df(levels, pairs, li, rc)
+        ec = self._vcycle_df(levels, pairs, li, rc)
+        if self.cycle == "W" and li < len(levels) - 1:
+            rc2 = df_add(
+                rc, df_neg(mask_df(self._mv_df(nxt, pairs[li], ec), nxt.free_t))
+            )
+            ec = df_add(ec, self._vcycle_df(levels, pairs, li, rc2))
+        return ec
+
+    def _ksolve_df(self, levels, pairs, li: int, b):
+        """df twin of _ksolve: 2 truncated-FCG steps on A_li e = b
+        preconditioned by the df cycle visit; scalars in (emulated) f64
+        via df_dot_f64 — the same O(1)-per-level cost class as the df
+        outer CG's recurrence."""
+        from fem_shell_tpu.mg_df import mask_df
+        from fem_shell_tpu.ops.df import (
+            df_add,
+            df_dot_f64,
+            df_scale,
+            df_scalar_from_f64,
+        )
+
+        lvl = levels[li]
+
+        def mv(x):
+            return mask_df(self._mv_df(lvl, pairs[li], x), lvl.free_t)
+
+        def sdiv(a, d):
+            return a / jnp.where(d == 0, jnp.ones_like(d), d)
+
+        z1 = self._vcycle_df(levels, pairs, li, b)
+        q1 = mv(z1)
+        zq1 = df_dot_f64(z1, q1)
+        alpha1 = sdiv(df_dot_f64(z1, b), zq1)
+        r = df_add(b, df_scale(q1, df_scalar_from_f64(-alpha1)))
+        z2 = self._vcycle_df(levels, pairs, li, r)
+        q2 = mv(z2)
+        beta = sdiv(df_dot_f64(z2, q1), zq1)
+        nbeta = df_scalar_from_f64(-beta)
+        p = df_add(z2, df_scale(z1, nbeta))
+        qp = df_add(q2, df_scale(q1, nbeta))
+        alpha2 = sdiv(df_dot_f64(p, r), df_dot_f64(p, qp))
+        return df_add(
+            df_scale(z1, df_scalar_from_f64(alpha1)),
+            df_scale(p, df_scalar_from_f64(alpha2)),
+        )
+
     def _vcycle_fine_pad(self, levels, b):
         """Level-0 V-cycle segment in the padded pallas layout
         (ops/pallas_class.py pad-grid machinery): pad in once, smooth /
@@ -1316,6 +1555,36 @@ class MultigridShellSystem:
                      flexible=self.cycle == "K")
         return df_to_f64(res.x), res.iters, res.residual
 
+    def _solve_df_impl_dfcycle(
+        self, fine_df, fine_sym, levels, pairs, forces_t64, rtol, maxiter
+    ):
+        """df outer CG with a df-VALUED cycle preconditioner
+        (df_cycle=True): prec(r) returns a full df correction instead of
+        DF(f32-cycle, 0) — the configuration for near-inextensional
+        curved hierarchies (mg_df.py). Fine pair/levels rebinding follows
+        _solve_df_impl_pair (single HBM budget for the fine hi)."""
+        from fem_shell_tpu.ops.df import df_from_f64, df_to_f64
+        from fem_shell_tpu.solver_df import pcg_df
+
+        fine = dataclasses.replace(levels[0], values=fine_df.hi)
+        levels = [fine] + list(levels[1:])
+        pairs = [fine_df] + list(pairs[1:])
+
+        b = df_from_f64(forces_t64 * fine.free_t.astype(jnp.float64))
+        if fine_sym is not None:
+            from fem_shell_tpu.ops.pallas_spmv_df import stencil_spmv_pallas_df_sym
+
+            mv = lambda x: stencil_spmv_pallas_df_sym(fine_sym[0], fine_sym[1], x, fine.offsets)  # noqa: E731
+        else:
+            mv = lambda x: self._mv_df(fine, fine_df, x)  # noqa: E731
+
+        def prec(r: "DF"):
+            return self._vcycle_df(levels, pairs, 0, r)
+
+        res = pcg_df(mv, b, rtol=rtol, maxiter=maxiter, apply_prec=prec,
+                     flexible=self.cycle == "K")
+        return df_to_f64(res.x), res.iters, res.residual
+
     def _solve_df_impl_class(self, levels, forces_t64, rtol, maxiter):
         """df outer CG over the matrix-free class-table operator
         (ops/class_matvec.py): no fine-level operator storage at all —
@@ -1374,12 +1643,12 @@ class MultigridShellSystem:
             # boundary as an ARGUMENT (closure constants are embedded into
             # the serialized HLO; remote-compile size limit)
             if not hasattr(self, "_solve_df_jit"):
-                impl = (
-                    self._solve_df_impl_class
-                    if self._cdf is not None
-                    else self._solve_df_impl_pair
-                )
-                nstat = 2 if self._cdf is not None else 4
+                if self._cdf is not None:
+                    impl, nstat = self._solve_df_impl_class, 2
+                elif self.df_cycle:
+                    impl, nstat = self._solve_df_impl_dfcycle, 5
+                else:
+                    impl, nstat = self._solve_df_impl_pair, 4
                 self._solve_df_jit = jax.jit(
                     impl, static_argnums=(nstat, nstat + 1)
                 )
@@ -1389,6 +1658,15 @@ class MultigridShellSystem:
                 if self._cdf is not None:
                     x64, iters, res = self._solve_df_jit(
                         self.levels, f_t, rtol, maxiter
+                    )
+                elif self.df_cycle:
+                    levels_arg = [
+                        dataclasses.replace(self.levels[0], values=None)
+                    ] + list(self.levels[1:])
+                    pairs_arg = [None] + list(self._pairs[1:])
+                    x64, iters, res = self._solve_df_jit(
+                        self._fine_df, getattr(self, "_fine_sym", None),
+                        levels_arg, pairs_arg, f_t, rtol, maxiter
                     )
                 else:
                     levels_arg = [

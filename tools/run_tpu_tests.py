@@ -22,6 +22,9 @@ Checks:
   7. refined      — exact-stencil iterative refinement: true residual
                     below rtol, golden center deflection (n=192 tri),
                     on BOTH the class-operator and pair paths
+  8. dfcycle      — df-VALUED MG cycle (mg_df.py) on the curved roof:
+                    residual 1e-8 + f64-reference midside parity (the
+                    f32 cycle stalls ~5 decades short there)
 
 Usage: python tools/run_tpu_tests.py [check ...]   (default: all)
 Exit code 0 = all green; each check's stdout is streamed to the log.
@@ -548,6 +551,46 @@ print("OK")
 """
 
 
+_DFCYCLE_SCRIPT = r"""
+import os
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+import jax
+jax.config.update("jax_enable_x64", True)
+import jax.numpy as jnp
+import numpy as np
+if jax.devices()[0].platform == "cpu":
+    print("SKIP: no accelerator")
+    raise SystemExit(0)
+from fem_shell_tpu.mg import MultigridShellSystem
+from fem_shell_tpu.shells import SCORDELIS_LO_MATERIAL, scordelis_lo
+
+# df-valued cycle on the small curved roof: the f32 cycle application
+# cannot drive this residual (r4 roof_prec_probe: f32cast stalls at ~37
+# on an f64 outer CG); reaching 1e-8 here is the on-device proof the df
+# cycle carries eps49 through smoothing/transfers/RAP. CPU-jit runs of
+# the same code degrade below f32 (broken EFTs) — this is the strict
+# counterpart of tests/test_mg_df.py's loose CPU assertions.
+mesh, forces, mid = scordelis_lo(32)
+mg = MultigridShellSystem(mesh, SCORDELIS_LO_MATERIAL, dtype=jnp.float32,
+                          df_operator=True, df_cycle=True,
+                          smoother="chebyshev")
+assert mg.coarse_op == "galerkin"
+u = mg.solve_df(forces, rtol=1e-9, maxiter=400)
+print(f"df-cycle roof32: iters={mg.last_iters} res={mg.last_residual:.3e} "
+      f"w={float(u[mid,2]):.8f}")
+assert mg.last_residual < 1e-8, f"df cycle stalled: {mg.last_residual:.3e}"
+
+# f64 reference on the host CPU backend (exact arithmetic)
+with jax.default_device(jax.devices("cpu")[0]):
+    ref = MultigridShellSystem(mesh, SCORDELIS_LO_MATERIAL, dtype=jnp.float64)
+    u64 = ref.solve(forces, rtol=1e-10)
+err = abs(float(u[mid, 2]) - float(u64[mid, 2])) / abs(float(u64[mid, 2]))
+print(f"midside vs f64: rel {err:.3e}")
+assert err < 1e-6, f"df-cycle midside off the f64 reference: {err:.3e}"
+print("OK")
+"""
+
+
 def checks():
     from test_dfk import _TPU_PARITY_SCRIPT as dfk_script
     from test_pallas_spmv import _TPU_PARITY_SCRIPT as pallas_script
@@ -563,6 +606,7 @@ def checks():
         "class-mv": _CLASSMV_SCRIPT,
         "refined": _REFINED_SCRIPT,
         "fullfield": _FULLFIELD_SCRIPT,
+        "dfcycle": _DFCYCLE_SCRIPT,
     }
 
 
