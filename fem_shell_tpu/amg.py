@@ -21,6 +21,7 @@ gather-mode SoA assembler accepts (ops/soa.py general mode).
 from __future__ import annotations
 
 import dataclasses
+import time
 from typing import List, Optional
 
 import jax
@@ -204,25 +205,49 @@ def _smooth_p(lvl: _HostLevel, p0, agg, omega, inv_diag):
 
 
 def _rap(lvl: _HostLevel, pcol, pblk, n_agg, chunk=65536):
-    """C = P^T A P by chunked sorted-key reduction (block COO)."""
+    """C = P^T A P by chunked sorted-key reduction (block COO).
+
+    Per chunk: AP's K*PK candidate coarse columns are deduped PER ROW
+    first (sorted-segment reduction, the _smooth_p trick) so the outer
+    P^T product and the key reduction run over the ~Q unique columns
+    (Q ~ 9-16) instead of all K*PK ~ 36-72 candidates — the triple
+    product was the setup's dominant cost (r5 profile: ~42% at 56k
+    DOF, einsum-bound). Broadcast matmul replaces np.einsum for the
+    6x6 block products (BLAS beats the naive einsum loop ~1.6x)."""
     n, k = lvl.adj.shape
     pk = pcol.shape[1]
-    acc = {}
     keys_all = []
     vals_all = []
     for s in range(0, n, chunk):
         e = min(n, s + chunk)
-        rows = np.arange(s, e)
-        # AP over the chunk: [C, K, PK] candidate coarse cols
+        C = e - s
+        # AP over the chunk, then per-row column dedupe
         j = lvl.adj[s:e]  # [C, K]
-        ap_col = pcol[j]  # [C, K, PK]
-        ap_blk = np.einsum("ckab,ckpbd->ckpad", lvl.blocks[s:e], pblk[j])
-        # multiply by P^T rows of i
-        ri_col = pcol[s:e]  # [C, PK]
-        # triple: for each (pi, kk, pj): key (ri_col[c,pi], ap_col[c,kk,pj])
-        left = np.einsum("cpab,ckqad->cpkqbd", pblk[s:e], ap_blk)
-        kI = np.broadcast_to(ri_col[:, :, None, None], left.shape[:4])
-        kJ = np.broadcast_to(ap_col[:, None, :, :], left.shape[:4])
+        ap_col = pcol[j].reshape(C, k * pk)
+        ap_blk = np.matmul(lvl.blocks[s:e][:, :, None], pblk[j]).reshape(
+            C, k * pk, 6, 6
+        )
+        order = np.argsort(ap_col, axis=1, kind="stable")
+        col_s = np.take_along_axis(ap_col, order, axis=1)
+        blk_s = np.take_along_axis(ap_blk, order[..., None, None], axis=1)
+        new = np.ones_like(col_s, bool)
+        new[:, 1:] = col_s[:, 1:] != col_s[:, :-1]
+        slot = np.cumsum(new, axis=1) - 1
+        q = int(slot.max()) + 1
+        apc = np.zeros((C, q), np.int64)
+        apb = np.zeros((C, q, 6, 6))
+        rows = np.repeat(np.arange(C), k * pk)
+        np.maximum.at(apc, (rows, slot.reshape(-1)), col_s.reshape(-1))
+        np.add.at(apb, (rows, slot.reshape(-1)), blk_s.reshape(-1, 6, 6))
+        # unused trailing slots (rows with < q unique columns) carry
+        # zero blocks at column 0 — same as the padded-P convention,
+        # pruned by the magnitude filter below
+        # P^T(i) x AP(i): [C, PK, 6, 6]^T @ [C, Q, 6, 6] -> [C, PK, Q]
+        left = np.matmul(
+            np.swapaxes(pblk[s:e], -1, -2)[:, :, None], apb[:, None]
+        )
+        kI = np.broadcast_to(pcol[s:e][:, :, None], (C, pk, q))
+        kJ = np.broadcast_to(apc[:, None, :], (C, pk, q))
         key = (kI.astype(np.int64) * n_agg + kJ).reshape(-1)
         val = left.reshape(-1, 6, 6)
         uk, inv = np.unique(key, return_inverse=True)
@@ -310,6 +335,7 @@ class AMGShellSystem:
         cycle: str = "W",
         reorder: Optional[str] = "rcm",
         df: bool = False,
+        verbose_setup: bool = False,
     ):
         """``df=True`` builds the hierarchy on the symmetrically
         diagonal-scaled operator (drilling dofs are 1000x softer — the
@@ -331,6 +357,18 @@ class AMGShellSystem:
         # extra coarse sweeps (cheap: levels shrink ~9x) flatten the
         # iteration growth with depth
         self.cycle = cycle
+        # per-stage setup wall times (seconds): the host-bound setup is
+        # the documented cost of the unstructured path (AMG_SCALE.json
+        # setup_s) — this breakdown is the timing discipline for it.
+        # Totals accumulate over levels; "upload" is the device transfer
+        # (dominated by the tunnel bandwidth on the remote platform).
+        self.setup_timings = {
+            k: 0.0
+            for k in ("assemble", "strong", "aggregate", "tentative",
+                      "smooth_p", "rap", "upload", "total")
+        }
+        _t_all = time.perf_counter()
+        _t0 = time.perf_counter()
         # fine operator via the gather-mode assembler (k_max=1 forces the
         # general path even for stencil-addressable meshes)
         self.sys = LargeShellSystem(mesh, material, dtype=jnp.float64, reorder=reorder)
@@ -349,6 +387,7 @@ class AMGShellSystem:
                 vals = np.asarray(self.sys.assemble(), np.float64)
         else:
             vals = np.asarray(self.sys.assemble(), np.float64)
+        self.setup_timings["assemble"] = time.perf_counter() - _t0
         pat = self.sys.pattern
         n = mesh.n_nodes
         if pat.offsets is not None:
@@ -403,21 +442,35 @@ class AMGShellSystem:
         self.h_levels: List[_HostLevel] = [lvl0]
         self.transfers = []  # (pcol, pblk, n_coarse)
         lvl = lvl0
+        tm = self.setup_timings
+
+        def _mark(key, t0):
+            t1 = time.perf_counter()
+            tm[key] += t1 - t0
+            return t1
+
         while lvl.n > coarse_max and len(self.h_levels) < max_levels:
+            _t0 = time.perf_counter()
             nbrs = _strong_graph(lvl, strength) if strength > 0 else None
+            _t0 = _mark("strong", _t0)
             agg, n_agg = aggregate(lvl.adj, lvl.n, nbrs)
+            _t0 = _mark("aggregate", _t0)
             if n_agg >= lvl.n:  # no coarsening progress
                 break
             p0, nullspace = _tentative(nullspace, agg, n_agg)
+            _t0 = _mark("tentative", _t0)
             inv_diag = _block_inv_diag(lvl)
             lam = _lam_max(lvl, inv_diag)
             pcol, pblk = _smooth_p(lvl, p0, agg, omega_sa / max(lam, 1e-30), inv_diag)
+            _t0 = _mark("smooth_p", _t0)
             nxt = _rap(lvl, pcol, pblk, n_agg)
+            _mark("rap", _t0)
             self.transfers.append((pcol, pblk, n_agg))
             self.h_levels.append(nxt)
             lvl = nxt
 
         # device levels
+        _t0 = time.perf_counter()
         self.levels: List[_DeviceLevel] = []
         for li, hl in enumerate(self.h_levels):
             inv_d = _block_inv_diag(hl)
@@ -459,6 +512,13 @@ class AMGShellSystem:
                 dl.chol = jnp.asarray(np.linalg.cholesky(scaled), jnp.float64)
                 dl.chol_scale = jnp.asarray(sc, jnp.float64)
             self.levels.append(dl)
+        jax.block_until_ready([dl.blocks for dl in self.levels])
+        tm["upload"] = time.perf_counter() - _t0
+        tm["total"] = time.perf_counter() - _t_all
+        if verbose_setup:
+            print("# amg setup timings: "
+                  + " ".join(f"{k}={v:.2f}s" for k, v in tm.items()),
+                  flush=True)
 
         self._solve_jit = jax.jit(self._solve_impl, static_argnums=(2, 3))
 
