@@ -45,7 +45,8 @@ def run(n=416, et="q"):
     print(f"# device={jax.devices()[0]} dofs={mesh2.n_dofs}", flush=True)
 
     t0 = time.perf_counter()
-    amg = AMGShellSystem(mesh2, mat, dtype=jnp.float32, df=True)
+    amg = AMGShellSystem(mesh2, mat, dtype=jnp.float32, df=True,
+                         verbose_setup=True)
     setup_s = time.perf_counter() - t0
     print(f"# AMG-df setup: {setup_s:.1f} s", flush=True)
 
@@ -66,6 +67,7 @@ def run(n=416, et="q"):
         "elem_type": et,
         "dofs": int(mesh2.n_dofs),
         "setup_s": round(setup_s, 2),
+        "setup_timings": {k: round(v, 2) for k, v in amg.setup_timings.items()},
         "solve_warm_incl_compile_s": round(warm_s, 2),
         "solve_s": round(solve_s, 3),
         "inner_iters": amg.last_iters,

@@ -64,9 +64,15 @@ def run(n=1024, mode="mg"):
     # guard turn the roof hierarchy from 215 V-iterations (f64, n=256)
     # to 53 — tools/roof_kcycle_probe.py)
     cycle = os.environ.get("FEMSHELL_ROOF_CYCLE") or None
+    # FEMSHELL_ROOF_DFCYCLE=1: df-VALUED cycle (mg_df.py) — the r5
+    # precision fix for the f32 cycle's stall on this hierarchy (the
+    # f32 K-cycle at 512^2/1024^2 plateaus at residual 1e-1/1.6e-3;
+    # the df cycle converges to the requested rtol, see
+    # tools/roof_dfcycle_probe.py results in ROADMAP/COVERAGE)
+    df_cycle = os.environ.get("FEMSHELL_ROOF_DFCYCLE", "0") == "1"
     mg = MultigridShellSystem(mesh, SCORDELIS_LO_MATERIAL, dtype=jnp.float32,
                               df_operator=True, smoother="chebyshev",
-                              cycle=cycle)
+                              cycle=cycle, df_cycle=df_cycle)
     t_build = time.perf_counter() - t0
     print(f"# construct+assemble: {t_build:.1f} s "
           f"(fine operator: {'class' if mg._cdf is not None else 'pair'}, "
@@ -102,6 +108,7 @@ def run(n=1024, mode="mg"):
         "elements": n_elem,
         "dofs": int(mesh.n_dofs),
         "cycle": mg.cycle,
+        "df_cycle": df_cycle,
         "levels": mg.n_levels,
         "maxiter": maxiter,
         "operator_rebuild_s": round(t_asm, 3),
