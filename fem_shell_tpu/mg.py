@@ -374,6 +374,7 @@ class MultigridShellSystem:
         cycle: Optional[str] = None,
         sym_spmv: Optional[bool] = None,
         df_cycle: bool = False,
+        k_depth: Optional[int] = None,
     ):
         """``df_operator=True`` is the multi-million-element configuration:
         every level is strip-assembled into a df (two-f32) operator
@@ -445,6 +446,15 @@ class MultigridShellSystem:
         if cycle not in (None, "V", "W", "K"):
             raise ValueError(f"unknown cycle {cycle!r}")
         self.cycle = cycle  # None = auto, resolved once coarse_op is known
+        # k_depth: deepest level index that still gets the K-cycle's
+        # 2-step FCG coarse solve; levels below it fall back to plain V
+        # visits (still SPD — truncation only weakens, never breaks, the
+        # preconditioner). WHY: the K-cycle's traced program doubles per
+        # level (2 cycle visits per FCG step), i.e. 2^(n_levels-2)
+        # coarsest bodies — the full-depth df K at roof-512^2 (6 levels)
+        # produced a 41.5 MB MLIR module that OOM-killed the remote
+        # compile helper (r5). None = unbounded (small hierarchies).
+        self.k_depth = k_depth
         _n_elem_fine = len(mesh.tri) + len(mesh.quad)
         # "big" regime: grid-df assembly + Pallas matvecs win above
         # ~10^5 elements; below, the per-dispatch overhead of the
@@ -1187,7 +1197,12 @@ class MultigridShellSystem:
         self.cycle automatically)."""
         nxt = levels[li]
         direct = nxt.chol is not None or nxt.dense_inv is not None
-        if self.cycle == "K" and li < len(levels) - 1 and not direct:
+        if (
+            self.cycle == "K"
+            and li < len(levels) - 1
+            and not direct
+            and (self.k_depth is None or li <= self.k_depth)
+        ):
             return self._ksolve(levels, li, rc)
         ec = self._vcycle(levels, li, rc)
         if self.cycle == "W" and li < len(levels) - 1:
@@ -1299,7 +1314,12 @@ class MultigridShellSystem:
 
         nxt = levels[li]
         direct = nxt.chol is not None or nxt.dense_inv is not None
-        if self.cycle == "K" and li < len(levels) - 1 and not direct:
+        if (
+            self.cycle == "K"
+            and li < len(levels) - 1
+            and not direct
+            and (self.k_depth is None or li <= self.k_depth)
+        ):
             return self._ksolve_df(levels, pairs, li, rc)
         ec = self._vcycle_df(levels, pairs, li, rc)
         if self.cycle == "W" and li < len(levels) - 1:

@@ -135,6 +135,22 @@ def test_df_cycle_kcycle_runs():
     assert np.isfinite(u).all()
 
 
+def test_df_cycle_kcycle_bounded_depth():
+    """k_depth bounds the K recursion (trace size is 2^depth; the
+    unbounded df K OOMed the remote compiler at 512^2) — the truncated
+    cycle stays SPD and converges."""
+    from fem_shell_tpu.shells import SCORDELIS_LO_MATERIAL, scordelis_lo
+
+    mesh, forces, mid = scordelis_lo(16)
+    mg = MultigridShellSystem(mesh, SCORDELIS_LO_MATERIAL, dtype=jnp.float32,
+                              df_operator=True, df_cycle=True, cycle="K",
+                              k_depth=1, use_pallas=False,
+                              smoother="chebyshev")
+    u = mg.solve_df(forces, rtol=1e-6, maxiter=400)
+    assert mg.last_residual < 1e-3
+    assert np.isfinite(u).all()
+
+
 def test_df_cycle_reassemble_rebuilds_pairs():
     """reassemble() regenerates the df coarse pairs and the f64 coarsest
     inverse; a second solve reproduces the first."""

@@ -45,10 +45,12 @@ def run(n=128, cycle=None):
     print(f"# device={jax.devices()[0]} n={n} elements={len(mesh.quad)} "
           f"dofs={mesh.n_dofs} cycle={cycle or 'auto'}", flush=True)
 
+    kd = os.environ.get("FEMSHELL_ROOF_KDEPTH")
     t0 = time.perf_counter()
     mg = MultigridShellSystem(
         mesh, SCORDELIS_LO_MATERIAL, dtype=jnp.float32, df_operator=True,
         df_cycle=True, smoother="chebyshev", cycle=cycle,
+        k_depth=int(kd) if kd else None,
     )
     t_build = time.perf_counter() - t0
     print(f"# build {t_build:.1f} s levels={mg.n_levels} "

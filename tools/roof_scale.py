@@ -70,9 +70,14 @@ def run(n=1024, mode="mg"):
     # the df cycle converges to the requested rtol, see
     # tools/roof_dfcycle_probe.py results in ROADMAP/COVERAGE)
     df_cycle = os.environ.get("FEMSHELL_ROOF_DFCYCLE", "0") == "1"
+    # FEMSHELL_ROOF_KDEPTH: bound the K-cycle recursion depth (trace
+    # size doubles per K level; full-depth df K OOMed the remote
+    # compiler at 512^2 — see mg.py k_depth)
+    kd = os.environ.get("FEMSHELL_ROOF_KDEPTH")
     mg = MultigridShellSystem(mesh, SCORDELIS_LO_MATERIAL, dtype=jnp.float32,
                               df_operator=True, smoother="chebyshev",
-                              cycle=cycle, df_cycle=df_cycle)
+                              cycle=cycle, df_cycle=df_cycle,
+                              k_depth=int(kd) if kd else None)
     t_build = time.perf_counter() - t0
     print(f"# construct+assemble: {t_build:.1f} s "
           f"(fine operator: {'class' if mg._cdf is not None else 'pair'}, "
