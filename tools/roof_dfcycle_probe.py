@@ -17,7 +17,18 @@ tiny coarsest inverse.
 
 Run STANDALONE (holds the TPU): python tools/roof_dfcycle_probe.py 128
 Optional second arg: cycle (V|K, default auto=V). Env:
-FEMSHELL_ROOF_MAXITER, FEMSHELL_ROOF_RTOL.
+FEMSHELL_ROOF_MAXITER, FEMSHELL_ROOF_RTOL, FEMSHELL_ROOF_KDEPTH.
+
+FEMSHELL_ROOF_REFINE=k adds k passes of mixed-precision iterative
+refinement driven by EXACT f64 true residuals computed on the host CPU
+backend (r = f - A64 x, SoA matvec), each correction solved by the df
+cycle at a loose rtol.  Why: at 512^2 the converged-residual df solve
+still carries ~2% midside forward error — the roof's conditioning
+amplifies the df OPERATOR representation error (kappa * eps49), which
+no Krylov residual can see.  IR against the f64 operator contracts that
+error by ~kappa*eps49 per pass.  FEMSHELL_ROOF_F64REF=1 additionally
+solves the system on CPU f64 for a ground-truth midside (slow; use at
+n <= 256).
 """
 import json
 import os
@@ -81,6 +92,63 @@ def run(n=128, cycle=None):
         "midside_w": float(f"{w:.6f}"),
         "err_vs_richardson": float(f"{abs(w - target) / abs(target):.3e}"),
     }
+
+    refine = int(os.environ.get("FEMSHELL_ROOF_REFINE", "0"))
+    if refine:
+        import numpy as np
+
+        from fem_shell_tpu.large import LargeShellSystem
+        from fem_shell_tpu.ops.soa import soa_matvec
+
+        cpu0 = jax.devices("cpu")[0]
+        t0 = time.perf_counter()
+        with jax.default_device(cpu0):
+            sys64 = LargeShellSystem(mesh, SCORDELIS_LO_MATERIAL,
+                                     dtype=jnp.float64)
+            vals64 = sys64.assemble()
+        npad = sys64.pattern.n_pad
+        nn = mesh.n_nodes
+        free = np.asarray(sys64.free_t, np.float64)  # [6, npad]
+        f_t = np.zeros((6, npad))
+        f_t[:, :nn] = np.asarray(forces, np.float64).T
+        f_t *= free
+        print(f"# f64 operator (host) {time.perf_counter()-t0:.1f} s",
+              flush=True)
+        x_t = np.zeros((6, npad))
+        x_t[:, :nn] = np.asarray(u, np.float64).T
+        mv_jit = jax.jit(soa_matvec, static_argnames=("offsets",))
+        for p in range(refine):
+            with jax.default_device(cpu0):
+                r_t = f_t - np.asarray(
+                    mv_jit(vals64, jnp.asarray(x_t),
+                           offsets=tuple(int(o) for o in sys64.offsets))
+                )
+            r_t *= free
+            rn = float(np.linalg.norm(r_t) / max(np.linalg.norm(f_t), 1e-300))
+            t0 = time.perf_counter()
+            dx = mg.solve_df(np.ascontiguousarray(r_t[:, :nn].T), rtol=1e-6,
+                             maxiter=maxiter)
+            x_t[:, :nn] += np.asarray(dx, np.float64).T
+            x_t *= free
+            print(f"# refine pass {p}: true-res {rn:.3e} inner {mg.last_iters}"
+                  f" w={x_t[2, mid]:.7f} ({time.perf_counter()-t0:.1f} s)",
+                  flush=True)
+        payload["midside_w_refined"] = float(f"{x_t[2, mid]:.7f}")
+        payload["refine_passes"] = refine
+        payload["final_true_residual"] = rn
+
+    if os.environ.get("FEMSHELL_ROOF_F64REF", "0") == "1":
+        t0 = time.perf_counter()
+        with jax.default_device(jax.devices("cpu")[0]):
+            ref = MultigridShellSystem(mesh, SCORDELIS_LO_MATERIAL,
+                                       dtype=jnp.float64,
+                                       smoother="chebyshev", cycle="K")
+            u64 = ref.solve(forces, rtol=1e-10, maxiter=800)
+        w64 = float(u64[mid, 2])
+        payload["midside_w_f64"] = float(f"{w64:.7f}")
+        print(f"# f64 CPU reference w={w64:.7f} "
+              f"({time.perf_counter()-t0:.1f} s)", flush=True)
+
     print(json.dumps(payload), flush=True)
 
 
