@@ -74,10 +74,15 @@ def run(n=1024, mode="mg"):
     # size doubles per K level; full-depth df K OOMed the remote
     # compiler at 512^2 — see mg.py k_depth)
     kd = os.environ.get("FEMSHELL_ROOF_KDEPTH")
+    # FEMSHELL_ROOF_SYMSPMV=0: drop the symmetric-storage outer-CG copy
+    # (~1.5 GB at 1024^2) — HBM headroom knob for the df-cycle runs
+    # (the r5 1024^2 df-cycle attempt crashed the worker mid-solve)
+    sym = os.environ.get("FEMSHELL_ROOF_SYMSPMV")
     mg = MultigridShellSystem(mesh, SCORDELIS_LO_MATERIAL, dtype=jnp.float32,
                               df_operator=True, smoother="chebyshev",
                               cycle=cycle, df_cycle=df_cycle,
-                              k_depth=int(kd) if kd else None)
+                              k_depth=int(kd) if kd else None,
+                              sym_spmv=None if sym is None else sym == "1")
     t_build = time.perf_counter() - t0
     print(f"# construct+assemble: {t_build:.1f} s "
           f"(fine operator: {'class' if mg._cdf is not None else 'pair'}, "
